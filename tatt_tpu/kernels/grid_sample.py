@@ -1,0 +1,108 @@
+"""Bilinear grid sampling and affine grids.
+
+XLA has no ``grid_sample`` primitive; the reference depends on torch's for
+TPS rectification (``model/tps_spatial_transformer.py:10-17,104-113``),
+batched rotation augmentation (``interfaces/super_resolution.py:154-155``),
+and MORAN's offset-grid rectifier (``model/moran/morn.py``).  This module
+provides an XLA formulation (vectorized 4-tap gather with zero padding,
+torch ``align_corners=False`` semantics — the torch 1.8 default the
+reference runs under).  For the small feature maps involved (≤ 32×128)
+the gather lowers well; a Pallas kernel is kept as an optimization hook.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_sample_bilinear(
+    x: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False
+) -> jnp.ndarray:
+    """``x``: [N, C, H, W]; ``grid``: [N, Ho, Wo, 2] with (x, y) in [-1, 1].
+
+    Zero padding outside the image, matching torch's default
+    ``padding_mode='zeros'``.
+    """
+    n, c, h, w = x.shape
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align_corners:
+        ix = (gx + 1.0) * 0.5 * (w - 1)
+        iy = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        ix = ((gx + 1.0) * w - 1.0) * 0.5
+        iy = ((gy + 1.0) * h - 1.0) * 0.5
+
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    tx = ix - ix0
+    ty = iy - iy0
+
+    def gather(py, px):
+        """Gather x[:, :, py, px] with zero padding; py/px: [N, Ho, Wo]."""
+        inb = (py >= 0) & (py < h) & (px >= 0) & (px < w)
+        pyc = jnp.clip(py, 0, h - 1).astype(jnp.int32)
+        pxc = jnp.clip(px, 0, w - 1).astype(jnp.int32)
+        flat = x.reshape(n, c, h * w)
+        idx = (pyc * w + pxc).reshape(n, -1)  # [N, Ho*Wo]
+        vals = jnp.take_along_axis(flat, idx[:, None, :], axis=2)
+        vals = vals.reshape(n, c, *py.shape[1:])
+        return vals * inb[:, None].astype(x.dtype)
+
+    v00 = gather(iy0, ix0)
+    v01 = gather(iy0, ix0 + 1)
+    v10 = gather(iy0 + 1, ix0)
+    v11 = gather(iy0 + 1, ix0 + 1)
+
+    tx = tx[:, None].astype(x.dtype)
+    ty = ty[:, None].astype(x.dtype)
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    return top * (1 - ty) + bot * ty
+
+
+def affine_grid(
+    theta: jnp.ndarray, size: tuple[int, int, int, int], align_corners: bool = False
+) -> jnp.ndarray:
+    """Torch-compatible ``F.affine_grid``: ``theta`` [N, 2, 3] ->
+    grid [N, H, W, 2] of (x, y) sampling locations in [-1, 1]."""
+    n, _, h, w = size
+    if align_corners:
+        xs = jnp.linspace(-1.0, 1.0, w)
+        ys = jnp.linspace(-1.0, 1.0, h)
+    else:
+        xs = (2.0 * jnp.arange(w) + 1.0) / w - 1.0
+        ys = (2.0 * jnp.arange(h) + 1.0) / h - 1.0
+    gx, gy = jnp.meshgrid(xs, ys)  # [H, W]
+    ones = jnp.ones_like(gx)
+    base = jnp.stack([gx, gy, ones], axis=-1).reshape(1, h * w, 3)
+    out = jnp.einsum(
+        "nhk,nok->nho",
+        jnp.broadcast_to(base, (n, h * w, 3)),
+        theta,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(n, h, w, 2)
+
+
+def rotate_batch(
+    images: jnp.ndarray,
+    arc: jnp.ndarray,
+    rand_offs: jnp.ndarray,
+    off_range: float = 0.2,
+) -> jnp.ndarray:
+    """Batched rotation with aspect-ratio compensation — the reference's
+    ``torch_rotate_img`` (``interfaces/super_resolution.py:126-157``).
+
+    ``arc``: [N] angles in radians; ``rand_offs``: [N] uniforms in [0, 1).
+    """
+    n, c, h, w = images.shape
+    ratios = h / float(w)
+    ratios_mul = ratios + (rand_offs * off_range * 2.0) - off_range
+    cos, sin = jnp.cos(arc), jnp.sin(arc)
+    zero = jnp.zeros_like(arc)
+    theta = jnp.stack(
+        [cos, sin * ratios_mul, zero, -sin / ratios_mul, cos, zero], axis=1
+    ).reshape(n, 2, 3)
+    grid = affine_grid(theta, (n, c, h, w))
+    return grid_sample_bilinear(images, grid)

@@ -3,6 +3,9 @@ multi-chip sharding paths are exercised without TPU hardware."""
 
 import os
 
+# Single-CPU host: torch OMP threads and XLA's thread pool fight over one
+# core and stall compilation by minutes if both spin up.
+os.environ.setdefault("OMP_NUM_THREADS", "1")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -13,3 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402  (import after env is set)
 
 jax.config.update("jax_threefry_partitionable", True)
+# 1-CPU host: persistent compile cache makes repeated test runs bearable.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

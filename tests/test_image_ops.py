@@ -1,0 +1,89 @@
+"""Parity tests for image ops against torch CPU reference semantics."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from tatt_tpu.kernels.grid_sample import (
+    affine_grid,
+    grid_sample_bilinear,
+    rotate_batch,
+)
+from tatt_tpu.kernels.resize import resize_bicubic, rgb_to_luma
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((16, 64), (32, 100)), ((32, 128), (32, 100)), ((16, 64), (32, 128))],
+)
+def test_bicubic_matches_torch(in_hw, out_hw):
+    x = RNG.standard_normal((2, 3, *in_hw)).astype(np.float32)
+    want = F.interpolate(
+        torch.from_numpy(x), out_hw, mode="bicubic", align_corners=False
+    ).numpy()
+    got = np.asarray(resize_bicubic(x, *out_hw))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_affine_grid_matches_torch():
+    theta = RNG.standard_normal((3, 2, 3)).astype(np.float32)
+    size = (3, 4, 16, 64)
+    want = F.affine_grid(torch.from_numpy(theta), size, align_corners=False).numpy()
+    got = np.asarray(affine_grid(theta, size))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_grid_sample_matches_torch():
+    x = RNG.standard_normal((2, 3, 16, 64)).astype(np.float32)
+    # grid slightly beyond [-1, 1] to exercise zero padding
+    grid = (RNG.random((2, 8, 32, 2)).astype(np.float32) * 2.4) - 1.2
+    want = F.grid_sample(
+        torch.from_numpy(x),
+        torch.from_numpy(grid),
+        mode="bilinear",
+        padding_mode="zeros",
+        align_corners=False,
+    ).numpy()
+    got = np.asarray(grid_sample_bilinear(x, grid))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_rotate_batch_matches_reference_formula():
+    """Mirror torch_rotate_img (super_resolution.py:126-157) step by step."""
+    x = RNG.standard_normal((4, 4, 16, 64)).astype(np.float32)
+    arc = (RNG.random(4).astype(np.float32) - 0.5) * 0.2
+    offs = RNG.random(4).astype(np.float32)
+
+    n, c, h, w = x.shape
+    ratios = h / float(w)
+    t_arc = torch.from_numpy(arc)
+    t_offs = torch.from_numpy(offs)
+    ratios_mul = ratios + (t_offs.unsqueeze(1) * 0.4) - 0.2
+    a11, a12 = torch.cos(t_arc), torch.sin(t_arc)
+    a21, a22 = -torch.sin(t_arc), torch.cos(t_arc)
+    zeros = torch.zeros_like(t_arc)
+    theta = torch.cat(
+        [
+            a11.unsqueeze(1),
+            a12.unsqueeze(1) * ratios_mul,
+            zeros.unsqueeze(1),
+            a21.unsqueeze(1) / ratios_mul,
+            a22.unsqueeze(1),
+            zeros.unsqueeze(1),
+        ],
+        dim=1,
+    ).reshape(n, 2, 3)
+    grid = F.affine_grid(theta, x.shape, align_corners=False)
+    want = F.grid_sample(torch.from_numpy(x), grid, align_corners=False).numpy()
+
+    got = np.asarray(rotate_batch(x, arc, offs))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
+
+
+def test_rgb_to_luma():
+    x = RNG.random((2, 3, 4, 4)).astype(np.float32)
+    want = 0.299 * x[:, :1] + 0.587 * x[:, 1:2] + 0.114 * x[:, 2:3]
+    np.testing.assert_allclose(np.asarray(rgb_to_luma(x)), want, atol=1e-6)
