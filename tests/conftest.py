@@ -16,6 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402  (import after env is set)
 
 jax.config.update("jax_threefry_partitionable", True)
+# XLA:CPU's default matmul path may use reduced precision (bf16 dot); tests
+# compare against fp32 torch, so force full precision under pytest.
+jax.config.update("jax_default_matmul_precision", "highest")
 # 1-CPU host: persistent compile cache makes repeated test runs bearable.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
