@@ -71,6 +71,46 @@ def resize_bicubic(
     return y.astype(dt)
 
 
+@lru_cache(maxsize=None)
+def _linear_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """[out_size, in_size] bilinear weights matching torch's
+    ``F.interpolate(mode='bilinear')``."""
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+    dst = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        src = dst * (in_size - 1) / max(out_size - 1, 1)
+    else:
+        src = np.maximum((dst + 0.5) * in_size / out_size - 0.5, 0.0)
+    base = np.floor(src).astype(np.int64)
+    frac = src - base
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    rows = dst.astype(np.int64)
+    np.add.at(mat, (rows, np.clip(base, 0, in_size - 1)), 1.0 - frac)
+    np.add.at(mat, (rows, np.clip(base + 1, 0, in_size - 1)), frac)
+    return mat.astype(np.float32)
+
+
+def resize_bilinear(
+    x: jnp.ndarray, out_h: int, out_w: int, align_corners: bool = False
+) -> jnp.ndarray:
+    """Bilinear resize of ...HW images via two matmuls (used for the
+    InfoGen prior-map upsample, reference ``model/tsrn.py:404``)."""
+    h, w = x.shape[-2], x.shape[-1]
+    dt = x.dtype
+    wh = jnp.asarray(_linear_matrix(h, out_h, align_corners), jnp.float32)
+    ww = jnp.asarray(_linear_matrix(w, out_w, align_corners), jnp.float32)
+    y = jnp.einsum(
+        "oh,...hw,pw->...op",
+        wh,
+        x.astype(jnp.float32),
+        ww,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return y.astype(dt)
+
+
 def rgb_to_luma(x: jnp.ndarray) -> jnp.ndarray:
     """BT.601 luma used by every recognizer adapter
     (``interfaces/base.py:811-814``): 0.299 R + 0.587 G + 0.114 B.

@@ -1,0 +1,143 @@
+"""STN head + thin-plate-spline rectification.
+
+Rebuilds ``model/stn_head.py`` (6 conv-pool blocks -> FC -> 20 control
+points initialized to the identity border grid) and
+``model/tps_spatial_transformer.py`` (precomputed inverse TPS kernel and
+target-coordinate representation; forward solves the mapping matrix and
+bilinearly samples).  The TPS matrices are compile-time constants
+(precomputed with numpy exactly as the reference precomputes buffers),
+so the whole rectification is matmuls + one grid_sample.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from tatt_tpu.kernels.grid_sample import grid_sample_bilinear
+from tatt_tpu.models.common import (
+    BatchNorm1d,
+    BatchNorm2d,
+    Conv2d,
+    Dense,
+    max_pool_nchw,
+)
+
+
+def build_output_control_points(num_ctrl: int, margins=(0.05, 0.05)) -> np.ndarray:
+    """Border control points (``tps_spatial_transformer.py:38-50``)."""
+    margin_x, margin_y = margins
+    per_side = num_ctrl // 2
+    xs = np.linspace(margin_x, 1.0 - margin_x, per_side)
+    top = np.stack([xs, np.full(per_side, margin_y)], axis=1)
+    bottom = np.stack([xs, np.full(per_side, 1.0 - margin_y)], axis=1)
+    return np.concatenate([top, bottom], axis=0).astype(np.float64)
+
+
+def _partial_repr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """phi(r) = r^2 log(r^2) / 2 with 0*log(0) -> 0
+    (``tps_spatial_transformer.py:22-34``)."""
+    diff = a[:, None, :] - b[None, :, :]
+    dist = (diff**2).sum(-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rep = 0.5 * dist * np.log(dist)
+    rep[~np.isfinite(rep)] = 0.0
+    return rep
+
+
+@lru_cache(maxsize=None)
+def tps_matrices(
+    target_h: int, target_w: int, num_ctrl: int, margins: tuple[float, float]
+) -> tuple[np.ndarray, np.ndarray]:
+    """(inverse_kernel [N+3, N+3], target_coordinate_repr [HW, N+3])
+    exactly as precomputed in ``tps_spatial_transformer.py:66-94``."""
+    tcp = build_output_control_points(num_ctrl, margins)
+    n = num_ctrl
+    forward_kernel = np.zeros((n + 3, n + 3))
+    forward_kernel[:n, :n] = _partial_repr(tcp, tcp)
+    forward_kernel[:n, -3] = 1.0
+    forward_kernel[-3, :n] = 1.0
+    forward_kernel[:n, -2:] = tcp
+    forward_kernel[-2:, :n] = tcp.T
+    inverse_kernel = np.linalg.inv(forward_kernel)
+
+    hw = target_h * target_w
+    yx = np.array(
+        [(y, x) for y in range(target_h) for x in range(target_w)], dtype=np.float64
+    )
+    coord = np.stack(
+        [yx[:, 1] / (target_w - 1), yx[:, 0] / (target_h - 1)], axis=1
+    )  # (x, y)
+    repr_mat = np.concatenate(
+        [_partial_repr(coord, tcp), np.ones((hw, 1)), coord], axis=1
+    )
+    return inverse_kernel.astype(np.float32), repr_mat.astype(np.float32)
+
+
+def tps_transform(
+    images: jnp.ndarray,
+    source_ctrl: jnp.ndarray,
+    output_size: tuple[int, int],
+    margins: tuple[float, float] = (0.05, 0.05),
+) -> jnp.ndarray:
+    """Warp ``images`` [N,C,H,W] by TPS mapping control points
+    (``tps_spatial_transformer.py:97-112``); ``source_ctrl`` [N, K, 2]."""
+    n, _, _, _ = images.shape
+    k = source_ctrl.shape[1]
+    th, tw = output_size
+    inv_k, coord_repr = tps_matrices(th, tw, k, tuple(margins))
+    dt = images.dtype
+    padded = jnp.concatenate(
+        [source_ctrl, jnp.zeros((n, 3, 2), source_ctrl.dtype)], axis=1
+    )
+    mapping = jnp.einsum("ab,nbc->nac", jnp.asarray(inv_k, dt), padded.astype(dt))
+    source_coord = jnp.einsum(
+        "ha,nac->nhc", jnp.asarray(coord_repr, dt), mapping
+    )  # [N, HW, 2] in [0, 1]
+    grid = source_coord.reshape(n, th, tw, 2)
+    grid = jnp.clip(grid, 0.0, 1.0) * 2.0 - 1.0
+    return grid_sample_bilinear(images, grid)
+
+
+class STNHead(nn.Module):
+    """``model/stn_head.py:25-106``: conv tower -> fc -> 2K control points;
+    final fc initialized so the predicted points start at the identity
+    border grid, and its input scaled by 0.1."""
+
+    num_ctrlpoints: int = 20
+    activation: str = "none"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        chans = [32, 64, 128, 256, 256, 256]
+        pools = [(2, 2), (2, 2), (2, 2), (2, 2), (1, 2), None]
+        for i, (c, pool) in enumerate(zip(chans, pools)):
+            x = Conv2d(c, (3, 3), padding=(1, 1), name=f"conv{i}")(x)
+            x = BatchNorm2d(name=f"bn{i}")(x, train)
+            x = jnp.maximum(x, 0.0)
+            if pool is not None:
+                x = max_pool_nchw(x, pool, pool)
+        n = x.shape[0]
+        x = x.reshape(n, -1)
+        x = Dense(512, name="fc1")(x)
+        x = BatchNorm1d(name="fc1_bn")(x, train)
+        x = jnp.maximum(x, 0.0)
+
+        ctrl_init = build_output_control_points(
+            self.num_ctrlpoints, (0.01, 0.01)
+        ).astype(np.float32)
+
+        def zero_w(key, shape, dtype=jnp.float32):
+            return jnp.zeros(shape, dtype)
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            return jnp.asarray(ctrl_init.reshape(-1), dtype)
+
+        w = self.param("fc2_kernel", zero_w, (512, 2 * self.num_ctrlpoints))
+        b = self.param("fc2_bias", bias_init, (2 * self.num_ctrlpoints,))
+        pts = (0.1 * x) @ w.astype(x.dtype) + b.astype(x.dtype)
+        return pts.reshape(n, self.num_ctrlpoints, 2)

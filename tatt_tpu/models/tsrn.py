@@ -1,0 +1,297 @@
+"""TSRN backbone family and the TATT generator.
+
+Rebuilds (reference cites):
+  - ``GruBlock``                    ``model/tsrn.py:1067-1084``
+  - ``RecurrentResidualBlock``      ``model/tsrn.py:850-871``
+  - ``RecurrentResidualBlockTL``    ``model/tsrn.py:874-910``
+  - ``UpsampleBLock`` / ``mish``    ``model/tsrn.py:1040-1064``
+  - ``InfoGen``                     ``model/tsrn.py:284-317``
+  - ``TSRN``                        ``model/tsrn.py:88-150``
+  - ``TSRN_TL`` (TPGSR-style)       ``model/tsrn.py:321-442``
+  - ``TSRN_TL_TRANS`` (== TATT)     ``model/tsrn.py:576-692``
+
+Axis conventions (verified against the reference's transposes): inside an
+SRB, ``gru1`` scans over HEIGHT (its input arrives spatially transposed)
+batched over B*W rows and ``gru2`` scans over WIDTH batched over B*H rows.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tatt_tpu.kernels.resize import resize_bilinear
+from tatt_tpu.kernels.rnn import BiGRU
+from tatt_tpu.models.common import (
+    BatchNorm2d,
+    Conv2d,
+    ConvTranspose2d,
+    PReLU,
+    mish,
+    pixel_shuffle,
+)
+from tatt_tpu.models.stn import STNHead, tps_transform
+from tatt_tpu.models.tp_interpreter import TPInterpreter
+
+
+class GruBlock(nn.Module):
+    """1x1 conv then BiGRU over the last spatial axis of the input,
+    batched as B*H sequences (``model/tsrn.py:1067-1084``)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = Conv2d(self.out_channels, (1, 1), padding=(0, 0), name="conv1")(x)
+        n, c, h, w = x.shape
+        seq = x.transpose(0, 2, 3, 1).reshape(n * h, w, c)
+        seq = BiGRU(hidden=self.out_channels // 2, name="gru")(seq)
+        return seq.reshape(n, h, w, c).transpose(0, 3, 1, 2)
+
+
+class RecurrentResidualBlock(nn.Module):
+    """Plain SRB: conv-BN-mish-conv-BN -> height-GRU -> +x -> width-GRU."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        r = Conv2d(self.channels, name="conv1")(x)
+        r = BatchNorm2d(name="bn1")(r, train)
+        r = mish(r)
+        r = Conv2d(self.channels, name="conv2")(r)
+        r = BatchNorm2d(name="bn2")(r, train)
+        # gru1 over height: reference transposes H<->W around GruBlock
+        r = GruBlock(self.channels, name="gru1")(r.transpose(0, 1, 3, 2)).transpose(
+            0, 1, 3, 2
+        )
+        return GruBlock(self.channels, name="gru2")(x + r)
+
+
+class RecurrentResidualBlockTL(nn.Module):
+    """SRB fused with the text-prior map (``model/tsrn.py:874-910``):
+    the prior concatenates onto the residual before the height-GRU."""
+
+    channels: int
+    text_channels: int
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, text_emb: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        r = Conv2d(self.channels, name="conv1")(x)
+        r = BatchNorm2d(name="bn1")(r, train)
+        r = mish(r)
+        r = Conv2d(self.channels, name="conv2")(r)
+        r = BatchNorm2d(name="bn2")(r, train)
+        cat = jnp.concatenate([r, text_emb.astype(r.dtype)], axis=1)
+        r = GruBlock(self.channels, name="gru1")(cat.transpose(0, 1, 3, 2)).transpose(
+            0, 1, 3, 2
+        )
+        return GruBlock(self.channels, name="gru2")(x + r)
+
+
+class UpsampleBlock(nn.Module):
+    """conv3x3 (C -> C*r^2) -> PixelShuffle(r) -> mish."""
+
+    channels: int
+    up_scale: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = Conv2d(self.channels * self.up_scale**2, name="conv")(x)
+        return mish(pixel_shuffle(x, self.up_scale))
+
+
+class InfoGen(nn.Module):
+    """TPGSR-style prior deconv (``model/tsrn.py:284-317``): 4 transposed
+    convs lift [B, t_emb, 1, 26] to a spatial map (resized by caller)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        specs = [
+            (512, (2, 2), (0, 0)),
+            (128, (2, 2), (0, 0)),
+            (64, (2, 2), (1, 1)),
+            (self.out_channels, (2, 1), (1, 1)),
+        ]
+        x = t
+        for i, (c, s, p) in enumerate(specs):
+            x = ConvTranspose2d(
+                c, (3, 3), strides=s, padding=p, use_bias=False, name=f"tconv{i+1}"
+            )(x)
+            x = BatchNorm2d(name=f"bn{i+1}")(x, train)
+            x = jnp.maximum(x, 0.0)
+        return x
+
+
+class TSRN(nn.Module):
+    """Plain TSRN baseline (``model/tsrn.py:88-150``)."""
+
+    scale_factor: int = 2
+    width: int = 128
+    height: int = 32
+    stn: bool = False
+    srb_nums: int = 5
+    mask: bool = True
+    hidden_units: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        ch = 2 * self.hidden_units
+        in_planes = 4 if self.mask else 3
+        if self.stn and train:
+            ctrl = STNHead(name="stn_head")(x, train)
+            x = tps_transform(
+                x, ctrl, (self.height // self.scale_factor, self.width // self.scale_factor)
+            )
+        b1 = PReLU(name="block1_act")(
+            Conv2d(ch, (9, 9), padding=(4, 4), name="block1_conv")(x)
+        )
+        h = b1
+        for i in range(self.srb_nums):
+            h = RecurrentResidualBlock(ch, name=f"srb{i+2}")(h, train)
+        h = Conv2d(ch, name="post_conv")(h)
+        h = BatchNorm2d(name="post_bn")(h, train)
+        h = b1 + h
+        for i in range(int(math.log2(self.scale_factor))):
+            h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
+        out = Conv2d(in_planes, (9, 9), padding=(4, 4), name="final_conv")(h)
+        return jnp.tanh(out)
+
+
+class TSRN_TL(nn.Module):
+    """TSRN + InfoGen prior fusion (arch ``tsrn_tl_cascade``,
+    ``model/tsrn.py:321-442``)."""
+
+    scale_factor: int = 2
+    width: int = 128
+    height: int = 32
+    stn: bool = False
+    srb_nums: int = 5
+    mask: bool = True
+    hidden_units: int = 32
+    text_emb: int = 37
+    out_text_channels: int = 64
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        text_emb: jnp.ndarray,
+        train: bool = False,
+    ) -> tuple[jnp.ndarray, dict[str, Any]]:
+        ch = 2 * self.hidden_units
+        in_planes = 4 if self.mask else 3
+        if self.stn and train:
+            ctrl = STNHead(name="stn_head")(x, train)
+            x = tps_transform(
+                x, ctrl, (self.height // self.scale_factor, self.width // self.scale_factor)
+            )
+        b1 = PReLU(name="block1_act")(
+            Conv2d(ch, (9, 9), padding=(4, 4), name="block1_conv")(x)
+        )
+        tp_raw = InfoGen(self.out_text_channels, name="infoGen")(text_emb, train)
+        tp_map = resize_bilinear(tp_raw, x.shape[2], x.shape[3], align_corners=True)
+
+        h = b1
+        for i in range(self.srb_nums):
+            h = RecurrentResidualBlockTL(ch, self.out_text_channels, name=f"srb{i+2}")(
+                h, tp_map, train
+            )
+        h = Conv2d(ch, name="post_conv")(h)
+        h = BatchNorm2d(name="post_bn")(h, train)
+        h = b1 + h
+        for i in range(int(math.log2(self.scale_factor))):
+            h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
+        out = Conv2d(in_planes, (9, 9), padding=(4, 4), name="final_conv")(h)
+        out = jnp.tanh(out)
+        aux = {"spatial_t_emb": tp_raw, "in_feat": b1, "trans_feat": tp_map}
+        return out, aux
+
+
+class TATT(nn.Module):
+    """The TATT generator — ``TSRN_TL_TRANS`` (``model/tsrn.py:576-692``).
+
+    Input: [N, 4, 16, 64] (RGB + binary mask channel) plus the text prior
+    [N, 37, 1, 26] (softmax CRNN probabilities).  Output: [N, 4, 32, 128]
+    in tanh range, plus an aux dict (training) / attention weights (eval).
+    """
+
+    scale_factor: int = 2
+    width: int = 128
+    height: int = 32
+    stn: bool = False
+    srb_nums: int = 5
+    mask: bool = True
+    hidden_units: int = 32
+    text_emb: int = 37
+    out_text_channels: int = 64
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        text_emb: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        deterministic: Optional[bool] = None,
+    ) -> tuple[jnp.ndarray, dict[str, Any]]:
+        if deterministic is None:
+            deterministic = not train
+        ch = 2 * self.hidden_units
+        # The TP decoder uses the stem features directly as queries
+        # (tsrn.py:206,218), so feature width must equal the prior width.
+        assert ch == self.out_text_channels, (
+            f"TATT requires 2*hidden_units == out_text_channels "
+            f"({ch} != {self.out_text_channels})"
+        )
+        in_planes = 4 if self.mask else 3
+        lr_h = self.height // self.scale_factor
+        lr_w = self.width // self.scale_factor
+
+        # STN rectification runs only during training (tsrn.py:648-650)
+        if self.stn and train:
+            ctrl = STNHead(name="stn_head")(x, train)
+            x = tps_transform(x, ctrl, (lr_h, lr_w))
+
+        if text_emb is None:
+            text_emb = jnp.zeros((x.shape[0], self.text_emb, 1, 26), x.dtype)
+
+        b1 = PReLU(name="block1_act")(
+            Conv2d(ch, (9, 9), padding=(4, 4), name="block1_conv")(x)
+        )
+
+        tp_map, pr_weights = TPInterpreter(
+            text_emb=self.text_emb,
+            d_model=self.out_text_channels,
+            output_size=(lr_h, lr_w),
+            dropout=self.dropout,
+            name="infoGen",
+        )(b1, text_emb, deterministic)
+
+        h = b1
+        for i in range(self.srb_nums):
+            h = RecurrentResidualBlockTL(ch, self.out_text_channels, name=f"srb{i+2}")(
+                h, tp_map, train
+            )
+        h = Conv2d(ch, name="post_conv")(h)
+        h = BatchNorm2d(name="post_bn")(h, train)
+        h = b1 + h
+        for i in range(int(math.log2(self.scale_factor))):
+            h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
+        out = Conv2d(in_planes, (9, 9), padding=(4, 4), name="final_conv")(h)
+        out = jnp.tanh(out)
+
+        aux = {
+            "pr_weights": pr_weights,
+            "spatial_t_emb": tp_map,
+            "in_feat": b1,
+            "trans_feat": tp_map,
+        }
+        return out, aux
