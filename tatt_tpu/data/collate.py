@@ -1,0 +1,132 @@
+"""Collate: PIL samples -> batched numpy tensors (pure host function).
+
+Mirrors ``alignCollate_realWTLAMask`` (train, 9-tuple semantics,
+``dataset/dataset.py:1966-2076``) and ``alignCollate_realWTL`` (eval,
+``:1901-1963``):
+
+  - HR resized to (width, height), LR to (width/scale, height/scale) with
+    PIL BICUBIC (``resizeNormalize``, ``dataset.py:1266-1319``)
+  - optional 4th mask channel: grayscale mean-threshold binarization
+  - label one-hots "spread" over 26 slots with '-' interleaving, flat CTC
+    ids, and per-sample tics
+
+Deviations (documented):
+  - the reference reads its collate alphabet from ``al_chinese.txt`` even
+    for English runs (``dataset.py:1660``); we default to the CRNN alphabet
+    and accept any alphabet for the Chinese path.
+  - the eval collate's ``word[2]='e'`` label perturbation
+    (``dataset.py:1928-1931``) is off by default behind ``eval_perturb``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from tatt_tpu.core.charset import CRNN_ALPHABET, encode_label_vecs
+
+
+def to_tensor(img: Image.Image) -> np.ndarray:
+    """PIL -> [C, H, W] float32 in [0, 1] (torchvision ToTensor)."""
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[None]
+    else:
+        arr = arr.transpose(2, 0, 1)
+    return arr
+
+
+def resize_normalize(
+    img: Image.Image, size: tuple[int, int], mask: bool
+) -> np.ndarray:
+    """``resizeNormalize`` (``dataset.py:1266-1319``): bicubic resize to
+    (W, H), ToTensor, optional binarized-mask 4th channel."""
+    img = img.resize(size, Image.BICUBIC)
+    tensor = to_tensor(img)
+    if mask:
+        gray = img.convert("L")
+        arr = np.asarray(gray, dtype=np.float32)
+        thres = arr.mean()
+        m = (arr <= thres).astype(np.float32)  # 255 where x <= mean
+        tensor = np.concatenate([tensor, m[None]], axis=0)
+    return tensor
+
+
+@dataclass
+class Batch:
+    """The train-collate 9-tuple, as named fields (None where unused)."""
+
+    images_hr: np.ndarray  # [B, C, H, W]
+    images_lr: np.ndarray  # [B, C, H/s, W/s]
+    images_hr_y: Optional[np.ndarray]
+    images_lr_y: Optional[np.ndarray]
+    label_strs: list[str]
+    label_vecs: np.ndarray  # [B, A, 1, 26] spread one-hots
+    ctc_ids: np.ndarray  # flat CTC target ids
+    ctc_lengths: np.ndarray  # [B] per-sample target lengths
+    weighted_tics: np.ndarray  # [B]
+
+    def device_arrays(self) -> dict[str, np.ndarray]:
+        return {
+            "images_hr": self.images_hr,
+            "images_lr": self.images_lr,
+            "label_vecs": self.label_vecs,
+            "weighted_tics": self.weighted_tics.astype(np.float32),
+        }
+
+
+def collate(
+    samples: Sequence[tuple[Image.Image, Image.Image, str]],
+    width: int = 128,
+    height: int = 32,
+    down_sample_scale: int = 2,
+    mask: bool = True,
+    alphabet: str = CRNN_ALPHABET,
+    max_len: int = 26,
+    eval_perturb: bool = False,
+    y_domain: bool = False,
+) -> Batch:
+    """``samples``: iterable of (img_HR, img_lr, label)."""
+    hrs, lrs, labels = [], [], []
+    hrs_y, lrs_y = [], []
+    for hr, lr, label in samples:
+        hrs.append(resize_normalize(hr, (width, height), mask))
+        lrs.append(
+            resize_normalize(
+                lr, (width // down_sample_scale, height // down_sample_scale), mask
+            )
+        )
+        if y_domain:
+            hrs_y.append(
+                resize_normalize(hr.convert("YCbCr"), (width, height), mask)
+            )
+            lrs_y.append(
+                resize_normalize(
+                    lr.convert("YCbCr"),
+                    (width // down_sample_scale, height // down_sample_scale),
+                    mask,
+                )
+            )
+        labels.append(label)
+
+    label_vecs, ctc_ids, tics = encode_label_vecs(
+        labels, alphabet, max_len, eval_perturb
+    )
+    # per-sample CTC lengths from label_vecs occupancy (train loop derives
+    # text_len the same way, super_resolution.py:829-832)
+    lengths = (label_vecs.sum(axis=1)[:, 0, :] > 0).sum(axis=1).astype(np.int32)
+
+    return Batch(
+        images_hr=np.stack(hrs),
+        images_lr=np.stack(lrs),
+        images_hr_y=np.stack(hrs_y) if y_domain else None,
+        images_lr_y=np.stack(lrs_y) if y_domain else None,
+        label_strs=list(labels),
+        label_vecs=label_vecs,
+        ctc_ids=ctc_ids,
+        ctc_lengths=lengths,
+        weighted_tics=tics,
+    )

@@ -1,0 +1,69 @@
+"""Synthetic TextZoom-like fixture data.
+
+The reference ships no test assets; its data comes from LMDB archives of
+real paired LR/HR word crops (``dataset/dataset.py:565-686``).  For tests,
+CI, and benchmarking we render random word crops with PIL: HR = text on a
+textured background at 128x32; LR = HR downsampled with a blur, emulating
+the TextZoom degradation gap.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+from typing import Iterator, Optional
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFilter
+
+
+def render_sample(
+    rng: random.Random,
+    hr_size: tuple[int, int] = (128, 32),
+    lr_size: tuple[int, int] = (64, 16),
+) -> tuple[Image.Image, Image.Image, str]:
+    """Returns (img_HR, img_lr, label)."""
+    w, h = hr_size
+    label = "".join(
+        rng.choice(string.ascii_lowercase + string.digits)
+        for _ in range(rng.randint(2, 8))
+    )
+    bg = rng.randint(120, 255)
+    fg = rng.randint(0, 100)
+    noise = np.clip(
+        np.full((h, w, 3), bg, np.float32)
+        + np.random.default_rng(rng.randrange(2**31)).normal(0, 12, (h, w, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    img = Image.fromarray(noise)
+    draw = ImageDraw.Draw(img)
+    draw.text((rng.randint(2, 12), rng.randint(0, 8)), label, fill=(fg, fg, fg))
+    lr = img.filter(ImageFilter.GaussianBlur(radius=rng.uniform(0.8, 1.6))).resize(
+        lr_size, Image.BICUBIC
+    )
+    return img, lr, label
+
+
+class SyntheticTextDataset:
+    """Deterministic synthetic dataset with the lmdbDataset_real sample
+    contract: ``ds[i] -> (img_HR, img_lr, label_str)``."""
+
+    def __init__(
+        self,
+        n: int = 64,
+        seed: int = 0,
+        hr_size: tuple[int, int] = (128, 32),
+        lr_size: tuple[int, int] = (64, 16),
+    ):
+        self.n = n
+        self.seed = seed
+        self.hr_size = hr_size
+        self.lr_size = lr_size
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, i: int):
+        rng = random.Random(self.seed * 1_000_003 + i)
+        return render_sample(rng, self.hr_size, self.lr_size)

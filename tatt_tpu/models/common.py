@@ -235,10 +235,9 @@ def max_pool_nchw(
     padding: tuple[int, int] = (0, 0),
 ) -> jnp.ndarray:
     """Torch-style MaxPool2d on NCHW (CRNN stack, ``model/crnn/crnn.py:58-68``)."""
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else None
     return jax.lax.reduce_window(
         x,
-        neg,
+        -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, 1, *window),
         window_strides=(1, 1, *strides),

@@ -37,33 +37,38 @@ class BidirectionalLSTM(nn.Module):
 
 
 class CRNN(nn.Module):
-    """Returns [T, B, nclass] logits like the reference module."""
+    """Returns [T, B, nclass] logits like the reference module.
+
+    ``nm`` follows the reference channel plan [64,128,256,256,512,512,512]
+    (``crnn.py:38``); smaller values are used only by tests.
+    """
 
     nclass: int = 37
     nh: int = 256
+    nm: tuple[int, ...] = (64, 128, 256, 256, 512, 512, 512)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        # (channels, kernel, padding, batchnorm) per conv; pools interleaved
-        x = Conv2d(64, (3, 3), padding=(1, 1), name="conv0")(x)
+        nm = self.nm
+        x = Conv2d(nm[0], (3, 3), padding=(1, 1), name="conv0")(x)
         x = jnp.maximum(x, 0.0)
         x = max_pool_nchw(x, (2, 2), (2, 2))
-        x = Conv2d(128, (3, 3), padding=(1, 1), name="conv1")(x)
+        x = Conv2d(nm[1], (3, 3), padding=(1, 1), name="conv1")(x)
         x = jnp.maximum(x, 0.0)
         x = max_pool_nchw(x, (2, 2), (2, 2))
-        x = Conv2d(256, (3, 3), padding=(1, 1), name="conv2")(x)
+        x = Conv2d(nm[2], (3, 3), padding=(1, 1), name="conv2")(x)
         x = BatchNorm2d(name="batchnorm2")(x, train)
         x = jnp.maximum(x, 0.0)
-        x = Conv2d(256, (3, 3), padding=(1, 1), name="conv3")(x)
+        x = Conv2d(nm[3], (3, 3), padding=(1, 1), name="conv3")(x)
         x = jnp.maximum(x, 0.0)
         x = max_pool_nchw(x, (2, 2), (2, 1), (0, 1))
-        x = Conv2d(512, (3, 3), padding=(1, 1), name="conv4")(x)
+        x = Conv2d(nm[4], (3, 3), padding=(1, 1), name="conv4")(x)
         x = BatchNorm2d(name="batchnorm4")(x, train)
         x = jnp.maximum(x, 0.0)
-        x = Conv2d(512, (3, 3), padding=(1, 1), name="conv5")(x)
+        x = Conv2d(nm[5], (3, 3), padding=(1, 1), name="conv5")(x)
         x = jnp.maximum(x, 0.0)
         x = max_pool_nchw(x, (2, 2), (2, 1), (0, 1))
-        x = Conv2d(512, (2, 2), padding=(0, 0), name="conv6")(x)
+        x = Conv2d(nm[6], (2, 2), padding=(0, 0), name="conv6")(x)
         x = BatchNorm2d(name="batchnorm6")(x, train)
         x = jnp.maximum(x, 0.0)
 

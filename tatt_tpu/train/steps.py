@@ -1,0 +1,228 @@
+"""Jitted train/eval steps.
+
+The reference's per-batch Python (rotation aug, teacher prior, per-stu_iter
+student prior -> SR forward -> losses, backward, clip, Adam —
+``interfaces/super_resolution.py:575-1085``) collapses here into ONE pure
+jitted function: all augmentation runs on device, the ``stu_iter`` loop is
+unrolled at trace time, and XLA fuses the whole loss stack.  Data-parallel
+scaling is sharding, not code: batch inputs arrive sharded over the mesh's
+"data" axis and XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tatt_tpu.kernels.grid_sample import rotate_batch
+from tatt_tpu.losses.distill import semantic_loss
+from tatt_tpu.losses.image import image_loss
+from tatt_tpu.losses.ssim import ssim as ssim_fn
+from tatt_tpu.losses.ssim import tri_ssim
+from tatt_tpu.models.recognizers.crnn import parse_crnn_input
+from tatt_tpu.train.state import TrainState, clip_grads_per_model
+
+
+class StepConfig(NamedTuple):
+    """Static training options (subset of the reference flags that shape
+    the loss; names match ``main.py:23-69``)."""
+
+    stu_iter: int = 1
+    sr_share: bool = True
+    tpg_share: bool = False
+    use_distill: bool = True
+    gradient: bool = True
+    ssim_loss: bool = False
+    tssim_loss: bool = True
+    rotate_train: float = 5.0
+    training_stablize: bool = False
+    grad_clip: float = 0.25
+
+
+def loss_stablize(loss_set: jnp.ndarray, keep: float = 0.7) -> jnp.ndarray:
+    """Drop the worst (1-keep) fraction of per-sample losses.  The
+    reference's ``loss_stablizing`` (``super_resolution.py:84-93``) intends
+    this but zeroes a contiguous slice due to an indexing bug; we implement
+    the intended top-k mask."""
+    b = loss_set.shape[0]
+    k = int(keep * b)
+    threshold = jnp.sort(loss_set)[k - 1] if k > 0 else jnp.inf
+    return jnp.where(loss_set <= threshold, loss_set, 0.0)
+
+
+def make_train_step(
+    sr_apply: Callable,
+    student_apply: Callable,
+    teacher_apply: Callable,
+    cfg: StepConfig,
+):
+    """Builds the jitted train step.
+
+    ``sr_apply(variables, lr_images, prior, train, rngs, mutable)`` — the
+    generator; ``student_apply/teacher_apply(variables, luma, train, ...)``
+    — CRNN forwards returning [T, B, C] logits.
+    """
+
+    def step_fn(state: TrainState, teacher_vars, batch: dict, rng: jax.Array):
+        images_hr = batch["images_hr"]
+        images_lr = batch["images_lr"]
+
+        rot_rng, drop_rng = jax.random.split(rng)
+
+        if cfg.rotate_train:
+            b = images_lr.shape[0]
+            a_rng, o_rng = jax.random.split(rot_rng)
+            angle = (
+                jax.random.uniform(a_rng, (b,)) * 2.0 - 1.0
+            ) * cfg.rotate_train
+            arc = angle / 180.0 * math.pi
+            rand_offs = jax.random.uniform(o_rng, (b,))
+            images_lr = rotate_batch(images_lr, arc, rand_offs)
+            images_hr = rotate_batch(images_hr, arc, rand_offs)
+            images_lr_ret = rotate_batch(images_lr, -arc, rand_offs)
+        else:
+            arc = rand_offs = None
+            images_lr_ret = images_lr
+
+        # Teacher prior from HR (frozen, eval-mode BN) — detached
+        # (super_resolution.py:772-774)
+        hr_luma = parse_crnn_input(images_hr[:, :3])
+        teacher_logits = teacher_apply(teacher_vars, hr_luma, False)
+        label_vecs_hr = jax.lax.stop_gradient(
+            jax.nn.softmax(teacher_logits, axis=-1)
+        )
+
+        lr_luma = parse_crnn_input(images_lr[:, :3])
+
+        def loss_fn(params):
+            sr_params, stu_params = params["sr"], params["student"]
+            new_sr_stats = list(state.sr_batch_stats)
+            new_stu_stats = list(state.student_batch_stats)
+
+            loss_img = 0.0
+            loss_distill = 0.0
+            metrics = {}
+            for i in range(cfg.stu_iter):
+                tpg_pick = 0 if cfg.tpg_share else i
+                pick = 0 if cfg.sr_share else i
+
+                stu_vars = {
+                    "params": stu_params[tpg_pick],
+                    "batch_stats": new_stu_stats[tpg_pick],
+                }
+                stu_logits, stu_mut = student_apply(
+                    stu_vars, lr_luma, True, mutable=["batch_stats"]
+                )
+                new_stu_stats[tpg_pick] = stu_mut["batch_stats"]
+                label_vecs = jax.nn.softmax(stu_logits, axis=-1)  # [T,B,C]
+                prior = jax.lax.stop_gradient(
+                    label_vecs.transpose(1, 2, 0)[:, :, None, :]  # [B,C,1,T]
+                )
+
+                sr_vars = {
+                    "params": sr_params[pick],
+                    "batch_stats": new_sr_stats[pick],
+                }
+                (sr, aux), sr_mut = sr_apply(
+                    sr_vars,
+                    images_lr,
+                    prior,
+                    True,
+                    rngs={"dropout": jax.random.fold_in(drop_rng, i)},
+                    mutable=["batch_stats"],
+                )
+                new_sr_stats[pick] = sr_mut["batch_stats"]
+
+                if cfg.use_distill:
+                    d = semantic_loss(label_vecs, label_vecs_hr) * 100.0
+                    loss_distill = loss_distill + d
+                    metrics["loss_distill"] = d
+
+                imq = image_loss(sr, images_hr, gradient=cfg.gradient)
+                if cfg.training_stablize:
+                    imq = loss_stablize(imq)
+                each = imq.mean() * 100.0
+                loss_img = loss_img + each * (1.0 + i * 0.5)
+                metrics["loss_sr"] = each
+
+                if cfg.ssim_loss:
+                    s = (1.0 - ssim_fn(sr, images_hr)) * 10.0
+                    loss_img = loss_img + s
+                    metrics["loss_ssim"] = s
+
+                if cfg.tssim_loss:
+                    (sr_ret, _), sr_mut2 = sr_apply(
+                        {
+                            "params": sr_params[pick],
+                            "batch_stats": new_sr_stats[pick],
+                        },
+                        images_lr_ret,
+                        prior,
+                        True,
+                        rngs={"dropout": jax.random.fold_in(drop_rng, 100 + i)},
+                        mutable=["batch_stats"],
+                    )
+                    new_sr_stats[pick] = sr_mut2["batch_stats"]
+                    if cfg.rotate_train:
+                        sr_ret = rotate_batch(sr_ret, arc, rand_offs)
+                    ts = (1.0 - tri_ssim(sr_ret, sr, images_hr)) * 10.0
+                    loss_img = loss_img + ts
+                    metrics["loss_tssim"] = ts
+
+            total = loss_img + loss_distill
+            metrics["loss_total"] = total
+            return total, (tuple(new_sr_stats), tuple(new_stu_stats), metrics)
+
+        params = {"sr": state.sr_params, "student": state.student_params}
+        (loss, (sr_stats, stu_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+
+        grads = {
+            "sr": clip_grads_per_model(grads["sr"], cfg.grad_clip),
+            "student": grads["student"],
+        }
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, params, updates
+        )
+
+        new_state = state.replace(
+            step=state.step + 1,
+            sr_params=new_params["sr"],
+            student_params=new_params["student"],
+            sr_batch_stats=sr_stats,
+            student_batch_stats=stu_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return step_fn
+
+
+def make_eval_step(sr_apply: Callable, student_apply: Callable):
+    """Eval: student prior -> SR forward (eval mode), mirroring
+    ``model_inference`` (``super_resolution.py:240-449``).  Returns the SR
+    batch plus the student prior logits (the judge runs separately)."""
+
+    def eval_fn(state: TrainState, batch: dict):
+        images_lr = batch["images_lr"]
+        lr_luma = parse_crnn_input(images_lr[:, :3])
+        stu_vars = {
+            "params": state.student_params[0],
+            "batch_stats": state.student_batch_stats[0],
+        }
+        stu_logits = student_apply(stu_vars, lr_luma, False)
+        prior = jax.nn.softmax(stu_logits, axis=-1).transpose(1, 2, 0)[:, :, None, :]
+        sr_vars = {
+            "params": state.sr_params[0],
+            "batch_stats": state.sr_batch_stats[0],
+        }
+        sr, aux = sr_apply(sr_vars, images_lr, prior, False)
+        return sr, aux
+
+    return eval_fn
