@@ -1,0 +1,99 @@
+"""Benchmark: full-size TATT training throughput on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol: the canonical TATT recipe (batch 64, TSRN_TL_TRANS with 5 SRBs
++ full CRNN student/teacher, distill + gradient-prior + TSSIM losses,
+rotation aug — ``train_TATT.sh:1``), timed over full jitted train steps.
+
+``vs_baseline``: the reference publishes no throughput (SURVEY §6).  The
+baseline constant below is our standing estimate of the reference PyTorch
+implementation on one A100: batch 64 at ~0.30 s/iter => ~215 images/sec
+(cuDNN GRU-dominated; measured proxies in BENCH_NOTES.md).  Ratio > 3.0
+is the BASELINE.json target.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+A100_PYTORCH_IMAGES_PER_SEC = 215.0  # estimated reference throughput
+BATCH = 64
+STEPS = 10
+WARMUP = 3
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_tpu")
+
+    from tatt_tpu.data.collate import collate
+    from tatt_tpu.data.synthetic import SyntheticTextDataset
+    from tatt_tpu.models.recognizers.crnn import CRNN
+    from tatt_tpu.models.tsrn import TATT
+    from tatt_tpu.train.state import TrainState, make_optimizer
+    from tatt_tpu.train.steps import StepConfig, make_train_step
+
+    rng = jax.random.PRNGKey(0)
+    sr_model = TATT(srb_nums=5, hidden_units=32, out_text_channels=64)
+    crnn = CRNN()  # full-size: nh=256, channels up to 512
+
+    x = jnp.zeros((2, 4, 16, 64))
+    t = jnp.zeros((2, 37, 1, 26))
+    luma = jnp.zeros((2, 1, 32, 100))
+    k1, k2, k3 = jax.random.split(rng, 3)
+    sr_vars = sr_model.init(k1, x, t, train=True)
+    stu_vars = crnn.init(k2, luma)
+    teacher_vars = crnn.init(k3, luma)
+
+    def sr_apply(variables, lr, prior, train, rngs=None, mutable=False):
+        return sr_model.apply(
+            variables, lr, prior, train=train, rngs=rngs, mutable=mutable
+        )
+
+    def crnn_apply(variables, luma_in, train, mutable=False):
+        return crnn.apply(variables, luma_in, train=train, mutable=mutable)
+
+    tx = make_optimizer(1e-3, beta1=0.5)
+    state = TrainState.create([sr_vars], [stu_vars], tx)
+    cfg = StepConfig(tssim_loss=True, rotate_train=5.0, use_distill=True)
+    step = jax.jit(
+        make_train_step(sr_apply, crnn_apply, crnn_apply, cfg), donate_argnums=0
+    )
+
+    ds = SyntheticTextDataset(n=BATCH)
+    batch = collate([ds[i] for i in range(BATCH)]).device_arrays()
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    for i in range(WARMUP):
+        state, metrics = step(state, teacher_vars, batch, jax.random.PRNGKey(i))
+    jax.block_until_ready(metrics["loss_total"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, metrics = step(
+            state, teacher_vars, batch, jax.random.PRNGKey(WARMUP + i)
+        )
+    jax.block_until_ready(metrics["loss_total"])
+    dt = time.perf_counter() - t0
+
+    images_per_sec = BATCH * STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "tatt_train_throughput",
+                "value": round(images_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(
+                    images_per_sec / A100_PYTORCH_IMAGES_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
