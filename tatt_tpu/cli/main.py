@@ -1,0 +1,163 @@
+"""CLI entry mirroring the reference's ``main.py:22-145`` flag surface.
+
+Usage matches ``train_TATT.sh``:
+
+  python -m tatt_tpu.cli.main --arch=tatt --batch_size=64 --STN --mask \
+      --use_distill --gradient --sr_share --stu_iter=1 --vis_dir=vis \
+      --rotate_train=5.0 --tssim_loss --test_model=CRNN
+
+plus TPU-stack additions: ``--synthetic N`` trains on the synthetic
+fixture dataset when no LMDB dirs are available, ``--max_iters`` bounds
+the run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from tatt_tpu.core.config import Config, Flags, load_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="tatt_tpu — TPU-native TATT")
+    p.add_argument(
+        "--arch",
+        default="tatt",
+        choices=[
+            "tatt",
+            "tsrn",
+            "tsrn_tl_cascade",
+            "srcnn",
+            "srcnn_tl",
+            "vdsr",
+            "vdsr_tl",
+            "srres",
+            "srresnet_tl",
+            "edsr",
+            "rdn",
+            "rdn_tl",
+            "lapsrn",
+            "esrgan",
+            "esrgan_tl",
+            "scgan",
+            "scgan_tl",
+            "han",
+            "pcan",
+            "pcan_tl",
+            "tbsrn",
+            "tbsrn_tl",
+            "bicubic",
+        ],
+    )
+    p.add_argument("--test_model", default="CRNN", choices=["CRNN", "ASTER", "MORAN"])
+    p.add_argument("--config", default=None, help="YAML config path")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--val_batch_size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--vis_dir", type=str, default=None)
+    p.add_argument("--rec", default="crnn", choices=["crnn", "aster", "moran"])
+    p.add_argument("--STN", action="store_true")
+    p.add_argument("--mask", action="store_true")
+    p.add_argument("--gradient", action="store_true")
+    p.add_argument("--use_distill", action="store_true")
+    p.add_argument("--use_label", action="store_true")
+    p.add_argument("--ssim_loss", action="store_true")
+    p.add_argument("--tssim_loss", action="store_true")
+    p.add_argument("--color_loss", action="store_true")
+    p.add_argument("--sr_share", action="store_true")
+    p.add_argument("--tpg_share", action="store_true")
+    p.add_argument("--for_cascading", action="store_true")
+    p.add_argument("--y_domain", action="store_true")
+    p.add_argument("--learning_STN", action="store_true")
+    p.add_argument("--training_stablize", action="store_true")
+    p.add_argument("--stu_iter", type=int, default=1)
+    p.add_argument("--rotate_train", type=float, default=0.0)
+    p.add_argument("--rotate_test", type=float, default=0.0)
+    p.add_argument("--syn", action="store_true")
+    p.add_argument("--mixed", action="store_true")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--go_test", action="store_true")
+    p.add_argument("--demo", action="store_true")
+    p.add_argument("--demo_dir", type=str, default="./demo")
+    p.add_argument("--srb", type=int, default=5)
+    p.add_argument("--hd_u", type=int, default=32)
+    p.add_argument("--CHNSR", action="store_true")
+    p.add_argument("--test_data_dir", type=str, default=None)
+    p.add_argument("--learning_rate", "--lr", dest="lr", type=float, default=None)
+    # TPU-stack additions
+    p.add_argument("--dp_devices", type=int, default=0)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--log_dir", default="tensorboard")
+    p.add_argument("--tiny_tpg", action="store_true",
+                   help="shrink the CRNN text-prior generator (smoke runs)")
+    p.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="train on N synthetic fixture samples (no LMDB needed)")
+    p.add_argument("--max_iters", type=int, default=None)
+    p.add_argument("--crnn_pretrained", type=str, default=None,
+                   help=".pth or .ckpt weights for the teacher/judge CRNN")
+    return p
+
+
+def parse_config(argv=None) -> Config:
+    args = build_parser().parse_args(argv)
+    flag_fields = {f.name for f in Flags.__dataclass_fields__.values()}
+    flags = Flags(**{k: v for k, v in vars(args).items() if k in flag_fields})
+    cfg = load_config(args.config, flags=flags)
+    cfg._cli = args  # stash non-Flags extras (synthetic, max_iters, ...)
+    return cfg
+
+
+def main(argv=None) -> int:
+    cfg = parse_config(argv)
+    cli = cfg._cli
+
+    from tatt_tpu.data.synthetic import SyntheticTextDataset
+    from tatt_tpu.train.loop import Trainer
+
+    if cli.synthetic > 0:
+        train_ds = SyntheticTextDataset(n=cli.synthetic, seed=1)
+        val_sets = {
+            "easy": SyntheticTextDataset(n=max(cli.synthetic // 4, 8), seed=2),
+        }
+    elif cfg.TRAIN.train_data_dir:
+        from tatt_tpu.data.lmdb_dataset import LmdbTextDataset, ConcatDataset
+
+        train_ds = ConcatDataset(
+            [LmdbTextDataset(d) for d in cfg.TRAIN.train_data_dir]
+        )
+        val_sets = {
+            os.path.basename(d.rstrip("/")): LmdbTextDataset(d)
+            for d in cfg.TRAIN.VAL.val_data_dir
+        }
+    else:
+        print(
+            "no data: pass --synthetic N or a --config with train_data_dir",
+            file=sys.stderr,
+        )
+        return 2
+
+    teacher_vars = None
+    if cli.crnn_pretrained:
+        from tatt_tpu.core.torch_import import import_crnn
+
+        teacher_vars = import_crnn(cli.crnn_pretrained)
+
+    trainer = Trainer(cfg, train_ds, val_sets, teacher_variables=teacher_vars)
+    if cfg.resume:
+        trainer.resume(cfg.resume)
+
+    if cfg.args.go_test or cfg.args.test:
+        for name, ds in val_sets.items():
+            summary = trainer.evaluate(ds)
+            print(f"[{name}] {summary}")
+        return 0
+
+    trainer.train(max_iters=cli.max_iters)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -120,6 +120,7 @@ class Flags:
     dp_devices: int = 0        # 0 = all visible devices
     dtype: str = "float32"     # compute dtype for the model ("bfloat16" on TPU)
     log_dir: str = "tensorboard"
+    tiny_tpg: bool = False     # shrink the CRNN for CPU smoke runs
 
 
 @dataclass

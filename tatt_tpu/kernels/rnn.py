@@ -48,7 +48,7 @@ def bigru_apply(
     w_hh: jnp.ndarray,
     b_ih: jnp.ndarray,
     b_hh: jnp.ndarray,
-    unroll: int = 8,
+    unroll: int = 2,
 ) -> jnp.ndarray:
     """Bidirectional GRU.
 
@@ -94,7 +94,7 @@ def bilstm_apply(
     w_hh: jnp.ndarray,
     b_ih: jnp.ndarray,
     b_hh: jnp.ndarray,
-    unroll: int = 8,
+    unroll: int = 2,
 ) -> jnp.ndarray:
     """Bidirectional LSTM; same conventions as :func:`bigru_apply` with
     4H gate rows in torch order (i, f, g, o)."""

@@ -1,0 +1,282 @@
+"""Training orchestration — the TPU-native ``TextSR.train``/``eval``.
+
+Replaces ``interfaces/super_resolution.py:451-1700``'s Python loop with:
+host collate thread -> DP-sharded jitted train step -> periodic eval over
+the val sets (every ``valInterval`` iters) -> best-sum-accuracy checkpoint,
+``saveInterval`` rolling checkpoint, tensorboard scalars every 5 iters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tatt_tpu.core.charset import ctc_greedy_decode
+from tatt_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
+from tatt_tpu.core.config import Config
+from tatt_tpu.core.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
+from tatt_tpu.data.loader import DataLoader
+from tatt_tpu.losses.ssim import psnr as psnr_fn
+from tatt_tpu.losses.ssim import ssim as ssim_fn
+from tatt_tpu.models.factory import build_generator
+from tatt_tpu.models.recognizers.crnn import CRNN, parse_crnn_input
+from tatt_tpu.train.metrics import EvalAccumulator
+from tatt_tpu.train.state import TrainState, make_optimizer
+from tatt_tpu.train.steps import StepConfig, make_eval_step, make_train_step
+
+
+class Trainer:
+    """End-to-end trainer for text-prior archs (tatt / tsrn_tl_cascade)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        train_dataset,
+        val_datasets: Optional[dict] = None,
+        teacher_variables=None,
+        judge_variables=None,
+        log_fn: Callable[[str], None] = print,
+    ):
+        self.cfg = cfg
+        self.log = log_fn
+        self.mesh = make_mesh(cfg.args.dp_devices)
+        self.n_devices = len(self.mesh.devices.ravel())
+
+        self.sr_model = build_generator(cfg.args.arch, cfg)
+        self.crnn = (
+            CRNN(nh=16, nm=(8, 8, 16, 16, 32, 32, 32))
+            if cfg.args.tiny_tpg
+            else CRNN()
+        )
+
+        rng = jax.random.PRNGKey(cfg.TRAIN.manualSeed)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        x = jnp.zeros((2, 4 if cfg.args.mask else 3, cfg.TRAIN.height // cfg.scale_factor, cfg.TRAIN.width // cfg.scale_factor))
+        t = jnp.zeros((2, cfg.MODEL.text_emb, 1, 26))
+        luma = jnp.zeros((2, 1, 32, 100))
+        sr_vars = self.sr_model.init(k1, x, t, train=True)
+        stu_vars = (
+            {"params": teacher_variables["params"], "batch_stats": teacher_variables.get("batch_stats", {})}
+            if teacher_variables is not None
+            else self.crnn.init(k2, luma)
+        )
+        self.teacher_vars = (
+            teacher_variables
+            if teacher_variables is not None
+            else self.crnn.init(k3, luma)
+        )
+        self.judge_vars = judge_variables or self.teacher_vars
+
+        tx = make_optimizer(cfg.lr, cfg.TRAIN.beta1)
+        self.state = TrainState.create([sr_vars], [stu_vars], tx)
+
+        self.step_cfg = StepConfig(
+            stu_iter=cfg.args.stu_iter,
+            sr_share=cfg.args.sr_share or cfg.args.stu_iter == 1,
+            tpg_share=cfg.args.tpg_share or cfg.args.stu_iter == 1,
+            use_distill=cfg.args.use_distill,
+            gradient=cfg.args.gradient,
+            ssim_loss=cfg.args.ssim_loss,
+            tssim_loss=cfg.args.tssim_loss,
+            rotate_train=cfg.args.rotate_train,
+            training_stablize=cfg.args.training_stablize,
+        )
+
+        def sr_apply(variables, lr, prior, train, rngs=None, mutable=False):
+            return self.sr_model.apply(
+                variables, lr, prior, train=train, rngs=rngs, mutable=mutable
+            )
+
+        def crnn_apply(variables, luma_in, train, mutable=False):
+            return self.crnn.apply(variables, luma_in, train=train, mutable=mutable)
+
+        self._train_step = jax.jit(
+            make_train_step(sr_apply, crnn_apply, crnn_apply, self.step_cfg),
+            donate_argnums=0,
+        )
+        self._eval_step = jax.jit(make_eval_step(sr_apply, crnn_apply))
+        self._judge = jax.jit(
+            lambda variables, images: crnn_apply(
+                variables, parse_crnn_input(images[:, :3]), False
+            )
+        )
+
+        self.train_loader = DataLoader(
+            train_dataset,
+            batch_size=cfg.batch_size,
+            shuffle=True,
+            drop_last=True,
+            seed=cfg.TRAIN.manualSeed,
+            collate_kwargs=dict(
+                width=cfg.TRAIN.width,
+                height=cfg.TRAIN.height,
+                down_sample_scale=cfg.TRAIN.down_sample_scale,
+                mask=cfg.args.mask,
+            ),
+        )
+        self.val_datasets = val_datasets or {}
+        self.best_history: dict = {}
+        self.best_sum_acc = -1.0
+        self.converge_list: list = []
+
+        self.ckpt_dir = os.path.join(cfg.TRAIN.ckpt_dir, cfg.vis_dir)
+
+        self._writer = None
+        if cfg.args.log_dir:
+            try:
+                from tensorboardX import SummaryWriter
+
+                os.makedirs(cfg.args.log_dir, exist_ok=True)
+                self._writer = SummaryWriter(
+                    os.path.join(cfg.args.log_dir, cfg.vis_dir)
+                )
+            except Exception:
+                self._writer = None
+
+    # ------------------------------------------------------------------
+    def resume(self, path: str) -> None:
+        self.state, info = restore_checkpoint(path, self.state)
+        self.log(f"resumed from {path} at step {int(self.state.step)}: {info}")
+
+    def _scalars(self, step: int, metrics: dict) -> None:
+        if self._writer is None:
+            return
+        for key, value in metrics.items():
+            self._writer.add_scalar(f"loss/{key.replace('loss_', '')}", float(value), step)
+
+    # ------------------------------------------------------------------
+    def train(self, max_iters: Optional[int] = None) -> dict:
+        cfg = self.cfg
+        state = replicate(self.mesh, self.state)
+        teacher = replicate(self.mesh, self.teacher_vars)
+        iters = int(self.state.step)
+        t_start = time.time()
+        images_seen = 0
+
+        for epoch in range(cfg.epochs):
+            for batch in self.train_loader:
+                arrays = batch.device_arrays()
+                sharded = shard_batch(self.mesh, arrays)
+                state, metrics = self._train_step(
+                    state, teacher, sharded, jax.random.PRNGKey(iters)
+                )
+                iters += 1
+                images_seen += arrays["images_lr"].shape[0]
+
+                if iters % 5 == 0:
+                    self._scalars(iters, jax.device_get(metrics))
+                if iters % cfg.TRAIN.displayInterval == 0:
+                    m = jax.device_get(metrics)
+                    ips = images_seen / (time.time() - t_start)
+                    self.log(
+                        f"[epoch {epoch}] iter {iters} "
+                        f"loss {float(m['loss_total']):.3f} "
+                        f"sr {float(m.get('loss_sr', 0)):.3f} "
+                        f"distill {float(m.get('loss_distill', 0)):.3f} "
+                        f"({ips:.1f} img/s)"
+                    )
+                if cfg.TRAIN.VAL.valInterval > 0 and iters % cfg.TRAIN.VAL.valInterval == 0:
+                    self.state = jax.device_get(state)
+                    self._validate_and_checkpoint(iters, epoch)
+                    state = replicate(self.mesh, self.state)
+                if iters % cfg.TRAIN.saveInterval == 0:
+                    self.state = jax.device_get(state)
+                    save_checkpoint(
+                        os.path.join(self.ckpt_dir, "checkpoint.ckpt"),
+                        self.state,
+                        info=self._info(iters, epoch),
+                    )
+                if max_iters is not None and iters >= max_iters:
+                    self.state = jax.device_get(state)
+                    self.log(f"training stopped at iter {iters} (max_iters)")
+                    return {"iters": iters}
+        self.state = jax.device_get(state)
+        self.log(f"training finished at iter {iters}")
+        return {"iters": iters}
+
+    def _info(self, iters: int, epoch: int) -> dict:
+        return {
+            "arch": self.cfg.args.arch,
+            "iters": iters,
+            "epochs": epoch,
+            "batch_size": self.cfg.batch_size,
+            "voc_type": self.cfg.TRAIN.voc_type,
+            "up_scale_factor": self.cfg.scale_factor,
+        }
+
+    def _validate_and_checkpoint(self, iters: int, epoch: int) -> None:
+        sum_acc = 0.0
+        results = {}
+        for name, ds in self.val_datasets.items():
+            summary = self.evaluate(ds)
+            results[name] = summary
+            sum_acc += summary["accuracy"]
+            self.log(
+                f"eval[{name}] psnr {summary['psnr_avg']:.3f} "
+                f"ssim {summary['ssim_avg']:.4f} acc {summary['accuracy']:.4f}"
+            )
+            if self._writer is not None:
+                self._writer.add_scalar(f"eval/psnr_{name}", summary["psnr_avg"], iters)
+                self._writer.add_scalar(f"eval/ssim_{name}", summary["ssim_avg"], iters)
+                self._writer.add_scalar(f"eval/accuracy_{name}", summary["accuracy"], iters)
+        self.converge_list.append({"iterator": iters, "results": results})
+        if results and sum_acc > self.best_sum_acc:
+            self.best_sum_acc = sum_acc
+            self.best_history = results
+            save_checkpoint(
+                os.path.join(self.ckpt_dir, "model_best_acc_0.ckpt"),
+                self.state,
+                info=self._info(iters, epoch),
+                best_history=results,
+            )
+            self.log(f"new best sum-acc {sum_acc:.4f} @ iter {iters}")
+
+    # ------------------------------------------------------------------
+    def evaluate(self, dataset, batch_size: Optional[int] = None) -> dict:
+        cfg = self.cfg
+        bs = batch_size or cfg.args.val_batch_size or cfg.batch_size
+        loader = DataLoader(
+            dataset,
+            batch_size=bs,
+            shuffle=False,
+            drop_last=False,
+            collate_kwargs=dict(
+                width=cfg.TRAIN.width,
+                height=cfg.TRAIN.height,
+                down_sample_scale=cfg.TRAIN.down_sample_scale,
+                mask=cfg.args.mask,
+            ),
+        )
+        acc = EvalAccumulator()
+        t0 = time.time()
+        for batch in loader:
+            arrays = batch.device_arrays()
+            n_real = arrays["images_lr"].shape[0]
+            # pad tail batches to the full batch size so the jitted eval
+            # step compiles once (and stays divisible by the mesh)
+            padded, _ = pad_to_multiple(arrays, bs)
+            sr, _aux = self._eval_step(self.state, padded)
+            sr = np.asarray(sr)[:n_real]
+            hr = arrays["images_hr"]
+            p = float(psnr_fn(sr, hr))
+            s = float(ssim_fn(jnp.asarray(sr), jnp.asarray(hr)))
+            preds_sr = ctc_greedy_decode(
+                np.asarray(self._judge(self.judge_vars, jnp.asarray(sr)))
+            )
+            preds_lr = ctc_greedy_decode(
+                np.asarray(
+                    self._judge(self.judge_vars, jnp.asarray(arrays["images_lr"]))
+                )
+            )
+            preds_hr = ctc_greedy_decode(
+                np.asarray(self._judge(self.judge_vars, jnp.asarray(hr)))
+            )
+            acc.add_batch(p, s, preds_sr, preds_lr, preds_hr, batch.label_strs)
+        acc.infer_time = time.time() - t0
+        return acc.summary()
