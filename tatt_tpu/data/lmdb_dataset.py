@@ -1,0 +1,74 @@
+"""TextZoom LMDB datasets.
+
+Mirrors ``lmdbDataset_real`` (``dataset/dataset.py:565-686``): keys
+``num-samples``, ``label-%09d``, ``image_hr-%09d`` (128x32),
+``image_lr-%09d`` (64x16), indices 1-based; corrupt records skip to the
+next index (``:683-684``); missing labels decode to a single space
+(``:676-678``).  Backed by the native lmdb_lite reader.
+"""
+
+from __future__ import annotations
+
+import bisect
+import io
+from typing import Optional
+
+from PIL import Image
+
+from tatt_tpu.data.lmdb_lite import LmdbEnv
+
+
+def buf2pil(buf: bytes) -> Image.Image:
+    return Image.open(io.BytesIO(buf)).convert("RGB")
+
+
+class LmdbTextDataset:
+    def __init__(self, root: str, voc_type: str = "all", max_len: int = 100):
+        self.env = LmdbEnv(root)
+        self.root = root
+        n = self.env.get(b"num-samples")
+        if n is None:
+            raise IOError(f"{root}: missing num-samples key")
+        self.n_samples = int(n)
+        self.voc_type = voc_type
+        self.max_len = max_len
+
+    def __len__(self) -> int:
+        return self.n_samples
+
+    def __getitem__(self, index: int):
+        if index >= self.n_samples:
+            index = self.n_samples - 1
+        idx = index + 1  # keys are 1-based
+        label_buf = self.env.get(b"label-%09d" % idx)
+        label = label_buf.decode("utf-8", "ignore") if label_buf else " "
+        hr_buf = self.env.get(b"image_hr-%09d" % idx)
+        lr_buf = self.env.get(b"image_lr-%09d" % idx)
+        try:
+            img_hr = buf2pil(hr_buf)
+            img_lr = buf2pil(lr_buf)
+        except (TypeError, OSError):
+            # corrupt record: skip forward like the reference
+            return self[(index + 1) % self.n_samples]
+        return img_hr, img_lr, label
+
+
+class ConcatDataset:
+    """Multi-LMDB concat (``dataset/dataset.py:2237-2276``)."""
+
+    def __init__(self, datasets):
+        assert datasets, "empty dataset list"
+        self.datasets = list(datasets)
+        self.cum = []
+        total = 0
+        for d in self.datasets:
+            total += len(d)
+            self.cum.append(total)
+
+    def __len__(self) -> int:
+        return self.cum[-1]
+
+    def __getitem__(self, index: int):
+        ds_idx = bisect.bisect_right(self.cum, index)
+        prev = self.cum[ds_idx - 1] if ds_idx > 0 else 0
+        return self.datasets[ds_idx][index - prev]
