@@ -144,6 +144,40 @@ def encode_label_vecs(
     return rebatches, np.asarray(ctc_ids, dtype=np.int32), tics
 
 
+class AsterInfo:
+    """ASTER vocabulary wrapper (``interfaces/base.py:862-874`` +
+    ``utils/labelmaps.py:6-28``): voc = chars + [EOS, PADDING, UNKNOWN]."""
+
+    def __init__(self, voc_type: str = "all", chinese_path: str | None = None):
+        self.voc_type = voc_type
+        self.EOS, self.PADDING, self.UNKNOWN = "EOS", "PADDING", "UNKNOWN"
+        self.max_len = 100
+        voc = list(voc_table(voc_type, chinese_path))
+        voc += [self.EOS, self.PADDING, self.UNKNOWN]
+        self.voc = voc
+        self.char2id = {c: i for i, c in enumerate(voc)}
+        self.id2char = {i: c for i, c in enumerate(voc)}
+        self.rec_num_classes = len(voc)
+
+
+def decode_aster_ids(ids, info: AsterInfo) -> list[str]:
+    """``get_string_aster`` (``utils/metrics.py:20-68``): stop at EOS,
+    skip UNKNOWN, then normalize to lowercase alphanumerics."""
+    eos = info.char2id[info.EOS]
+    unk = info.char2id[info.UNKNOWN]
+    out = []
+    for row in ids:
+        chars = []
+        for v in row:
+            v = int(v)
+            if v == eos:
+                break
+            if v != unk and v in info.id2char:
+                chars.append(info.id2char[v])
+        out.append(normalize_text("".join(chars)))
+    return out
+
+
 def levenshtein(a: str, b: str) -> int:
     """Edit distance (replaces the reference's ``editdistance`` C module)."""
     if len(a) < len(b):

@@ -62,6 +62,101 @@ def _birnn(sd: Mapping[str, np.ndarray], name: str) -> dict:
     }
 
 
+def _birnn_layer(sd: Mapping[str, np.ndarray], name: str, layer: int) -> dict:
+    lx = f"l{layer}"
+    return {
+        f"w_ih_{lx}": np.stack(
+            [sd[f"{name}.weight_ih_{lx}"], sd[f"{name}.weight_ih_{lx}_reverse"]]
+        ),
+        f"w_hh_{lx}": np.stack(
+            [sd[f"{name}.weight_hh_{lx}"], sd[f"{name}.weight_hh_{lx}_reverse"]]
+        ),
+        f"b_ih_{lx}": np.stack(
+            [sd[f"{name}.bias_ih_{lx}"], sd[f"{name}.bias_ih_{lx}_reverse"]]
+        ),
+        f"b_hh_{lx}": np.stack(
+            [sd[f"{name}.bias_hh_{lx}"], sd[f"{name}.bias_hh_{lx}_reverse"]]
+        ),
+    }
+
+
+def import_aster(path_or_sd, blocks=(3, 4, 6, 6, 3)) -> dict:
+    """Reference ASTER checkpoint (``model/recognizer/``) -> flax variables
+    for :class:`tatt_tpu.models.recognizers.aster.AsterRecognizer`."""
+    sd = (
+        load_state_dict(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    )
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    # --- STN head: stn_convnet indices 0,2,4,6,8,10 hold conv blocks
+    stn_p, stn_s = {}, {}
+    block_ids = [0, 2, 4, 6, 8, 10]
+    for i, bi in enumerate(block_ids):
+        stn_p[f"conv{i}"] = _conv(sd, f"stn_head.stn_convnet.{bi}.0")
+        p, s = _bn(sd, f"stn_head.stn_convnet.{bi}.1")
+        stn_p[f"bn{i}"] = p
+        stn_s[f"bn{i}"] = s
+    stn_p["fc1"] = _linear(sd, "stn_head.stn_fc1.0")
+    p, s = _bn(sd, "stn_head.stn_fc1.1")
+    stn_p["fc1_bn"] = p
+    stn_s["fc1_bn"] = s
+    stn_p["fc2_kernel"] = sd["stn_head.stn_fc2.weight"].T
+    stn_p["fc2_bias"] = sd["stn_head.stn_fc2.bias"]
+    params["stn_head"] = stn_p
+    stats["stn_head"] = stn_s
+
+    # --- encoder
+    enc_p: dict[str, Any] = {"conv0": _conv(sd, "encoder.layer0.0", bias=False)}
+    enc_s: dict[str, Any] = {}
+    p, s = _bn(sd, "encoder.layer0.1")
+    enc_p["bn0"] = p
+    enc_s["bn0"] = s
+    for li, nblocks in enumerate(blocks):
+        for bi in range(nblocks):
+            pre = f"encoder.layer{li+1}.{bi}"
+            bp: dict[str, Any] = {
+                "conv1": _conv(sd, f"{pre}.conv1", bias=False),
+                "conv2": _conv(sd, f"{pre}.conv2", bias=False),
+            }
+            bs: dict[str, Any] = {}
+            for bn in ("bn1", "bn2"):
+                p, s = _bn(sd, f"{pre}.{bn}")
+                bp[bn] = p
+                bs[bn] = s
+            if f"{pre}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = _conv(sd, f"{pre}.downsample.0", bias=False)
+                p, s = _bn(sd, f"{pre}.downsample.1")
+                bp["downsample_bn"] = p
+                bs["downsample_bn"] = s
+            enc_p[f"layer{li+1}_{bi}"] = bp
+            enc_s[f"layer{li+1}_{bi}"] = bs
+    enc_p["rnn"] = {**_birnn_layer(sd, "encoder.rnn", 0), **_birnn_layer(sd, "encoder.rnn", 1)}
+    params["encoder"] = enc_p
+    stats["encoder"] = enc_s
+
+    # --- decoder
+    dec = "decoder.decoder"
+    dparams: dict[str, Any] = {
+        "tgt_embedding": sd[f"{dec}.tgt_embedding.weight"],
+        "gru_w_ih": sd[f"{dec}.gru.weight_ih_l0"],
+        "gru_w_hh": sd[f"{dec}.gru.weight_hh_l0"],
+        "gru_b_ih": sd[f"{dec}.gru.bias_ih_l0"],
+        "gru_b_hh": sd[f"{dec}.gru.bias_hh_l0"],
+    }
+    for ours, theirs in [
+        ("sEmbed", f"{dec}.attention_unit.sEmbed"),
+        ("xEmbed", f"{dec}.attention_unit.xEmbed"),
+        ("wEmbed", f"{dec}.attention_unit.wEmbed"),
+        ("fc", f"{dec}.fc"),
+    ]:
+        lin = _linear(sd, theirs)
+        dparams[f"{ours}_kernel"] = lin["kernel"]
+        dparams[f"{ours}_bias"] = lin["bias"]
+    params["decoder"] = dparams
+    return {"params": params, "batch_stats": stats}
+
+
 def import_crnn(path_or_sd) -> dict:
     """Reference ``crnn.pth`` (``model/crnn/crnn.py``) -> flax variables
     for :class:`tatt_tpu.models.recognizers.crnn.CRNN`."""

@@ -130,6 +130,27 @@ def bilstm_apply(
     return _unstack_bidir(ys.transpose(1, 2, 0, 3))
 
 
+def gru_cell(
+    x: jnp.ndarray,
+    h: jnp.ndarray,
+    w_ih: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    b_ih: jnp.ndarray,
+    b_hh: jnp.ndarray,
+) -> jnp.ndarray:
+    """One torch-semantics GRU step: ``x`` [B, In], ``h`` [B, H],
+    ``w_ih`` [3H, In], ``w_hh`` [3H, H].  Used by the ASTER attention
+    decoder (``model/recognizer/attention_recognition_head.py:248``)."""
+    gx = x @ w_ih.T.astype(x.dtype) + b_ih.astype(x.dtype)
+    gh = h @ w_hh.T.astype(x.dtype) + b_hh.astype(x.dtype)
+    xr, xz, xn = jnp.split(gx, 3, axis=-1)
+    hr, hz, hn = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
 def _rnn_param_init(in_features: int, hidden: int):
     """Torch RNN init: every weight/bias ~ U(-1/sqrt(H), 1/sqrt(H))."""
     return torch_conv_init(hidden)
@@ -152,16 +173,23 @@ class BiGRU(nn.Module):
 
 
 class BiLSTM(nn.Module):
-    """Drop-in for ``nn.LSTM(in, hidden, bidirectional=True)`` output[0]."""
+    """Drop-in for ``nn.LSTM(in, hidden, bidirectional=True)`` output[0].
+    ``num_layers`` stacks layers like torch (layer k>0 consumes 2H)."""
 
     hidden: int
+    num_layers: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        in_f = x.shape[-1]
-        init = _rnn_param_init(in_f, self.hidden)
-        w_ih = self.param("w_ih", init, (2, 4 * self.hidden, in_f))
-        w_hh = self.param("w_hh", init, (2, 4 * self.hidden, self.hidden))
-        b_ih = self.param("b_ih", init, (2, 4 * self.hidden))
-        b_hh = self.param("b_hh", init, (2, 4 * self.hidden))
-        return bilstm_apply(x, w_ih, w_hh, b_ih, b_hh)
+        for layer in range(self.num_layers):
+            in_f = x.shape[-1]
+            init = _rnn_param_init(in_f, self.hidden)
+            suffix = f"_l{layer}" if self.num_layers > 1 else ""
+            w_ih = self.param(f"w_ih{suffix}", init, (2, 4 * self.hidden, in_f))
+            w_hh = self.param(
+                f"w_hh{suffix}", init, (2, 4 * self.hidden, self.hidden)
+            )
+            b_ih = self.param(f"b_ih{suffix}", init, (2, 4 * self.hidden))
+            b_hh = self.param(f"b_hh{suffix}", init, (2, 4 * self.hidden))
+            x = bilstm_apply(x, w_ih, w_hh, b_ih, b_hh)
+        return x
