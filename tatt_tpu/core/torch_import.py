@@ -157,6 +157,77 @@ def import_aster(path_or_sd, blocks=(3, 4, 6, 6, 3)) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def import_moran(path_or_sd) -> dict:
+    """Reference MORAN demo checkpoint (``model/moran/``) -> flax variables
+    for :class:`tatt_tpu.models.recognizers.moran.MORAN`."""
+    sd = (
+        load_state_dict(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    )
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    # MORN cnn Sequential indices: convs at 1,5,9,12,15; BNs at 2,6,10,13,16
+    morn_p, morn_s = {}, {}
+    for i, (ci, bi) in enumerate([(1, 2), (5, 6), (9, 10), (12, 13), (15, 16)], 1):
+        morn_p[f"conv{i}"] = _conv(sd, f"MORN.cnn.{ci}")
+        p, s = _bn(sd, f"MORN.cnn.{bi}")
+        morn_p[f"bn{i}"] = p
+        morn_s[f"bn{i}"] = s
+    params["MORN"] = {"offsets": morn_p}
+    stats["MORN"] = {"offsets": morn_s}
+
+    cnn_p: dict[str, Any] = {"block0_conv": _conv(sd, "ASRN.cnn.block0.0")}
+    cnn_s: dict[str, Any] = {}
+    p, s = _bn(sd, "ASRN.cnn.block0.1")
+    cnn_p["block0_bn"] = p
+    cnn_s["block0_bn"] = s
+    plan = [3, 4, 6, 6, 3]
+    for li, rep in enumerate(plan, start=1):
+        for bi in range(rep):
+            pre = f"ASRN.cnn.block{li}.{bi}"
+            bp = {
+                "conv1": _conv(sd, f"{pre}.conv1.0"),
+                "conv2": _conv(sd, f"{pre}.conv2.0"),
+            }
+            bs = {}
+            p, s = _bn(sd, f"{pre}.conv1.1")
+            bp["bn1"] = p
+            bs["bn1"] = s
+            p, s = _bn(sd, f"{pre}.conv2.1")
+            bp["bn2"] = p
+            bs["bn2"] = s
+            if f"{pre}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = _conv(sd, f"{pre}.downsample.0")
+                p, s = _bn(sd, f"{pre}.downsample.1")
+                bp["downsample_bn"] = p
+                bs["downsample_bn"] = s
+            cnn_p[f"block{li}_{bi}"] = bp
+            cnn_s[f"block{li}_{bi}"] = bs
+    params["cnn"] = cnn_p
+    stats["cnn"] = cnn_s
+
+    for j in (0, 1):
+        params[f"rnn{j}"] = _birnn(sd, f"ASRN.rnn.{j}.rnn")
+        params[f"rnn{j}_embedding"] = _linear(sd, f"ASRN.rnn.{j}.embedding")
+
+    for att in ("attentionL2R", "attentionR2L"):
+        pre = f"ASRN.{att}"
+        params[att] = {
+            "i2h_w": sd[f"{pre}.attention_cell.i2h.weight"],
+            "h2h_w": sd[f"{pre}.attention_cell.h2h.weight"],
+            "h2h_b": sd[f"{pre}.attention_cell.h2h.bias"],
+            "score_w": sd[f"{pre}.attention_cell.score.weight"],
+            "gru_w_ih": sd[f"{pre}.attention_cell.rnn.weight_ih"],
+            "gru_w_hh": sd[f"{pre}.attention_cell.rnn.weight_hh"],
+            "gru_b_ih": sd[f"{pre}.attention_cell.rnn.bias_ih"],
+            "gru_b_hh": sd[f"{pre}.attention_cell.rnn.bias_hh"],
+            "generator_w": sd[f"{pre}.generator.weight"],
+            "generator_b": sd[f"{pre}.generator.bias"],
+            "char_embeddings": sd[f"{pre}.char_embeddings"],
+        }
+    return {"params": params, "batch_stats": stats}
+
+
 def import_crnn(path_or_sd) -> dict:
     """Reference ``crnn.pth`` (``model/crnn/crnn.py``) -> flax variables
     for :class:`tatt_tpu.models.recognizers.crnn.CRNN`."""
