@@ -101,11 +101,28 @@ class Trainer:
             donate_argnums=0,
         )
         self._eval_step = jax.jit(make_eval_step(sr_apply, crnn_apply))
-        self._judge = jax.jit(
-            lambda variables, images: crnn_apply(
-                variables, parse_crnn_input(images[:, :3]), False
+        # judge per --test_model; defaults to the teacher CRNN weights when
+        # no dedicated judge checkpoint is supplied
+        if judge_variables is not None:
+            from tatt_tpu.train.judge import make_judge
+
+            self._judge_fn = make_judge(
+                cfg.args.test_model, judge_variables, cfg.TRAIN.voc_type
             )
-        )
+        else:
+            # fall back to the teacher CRNN (whatever its size)
+            judge_fwd = jax.jit(
+                lambda v, images: crnn_apply(
+                    v, parse_crnn_input(images[:, :3]), False
+                )
+            )
+
+            def _crnn_judge(images):
+                return ctc_greedy_decode(
+                    np.asarray(judge_fwd(self.teacher_vars, images))
+                )
+
+            self._judge_fn = _crnn_judge
 
         self.train_loader = DataLoader(
             train_dataset,
@@ -266,17 +283,9 @@ class Trainer:
             hr = arrays["images_hr"]
             p = float(psnr_fn(sr, hr))
             s = float(ssim_fn(jnp.asarray(sr), jnp.asarray(hr)))
-            preds_sr = ctc_greedy_decode(
-                np.asarray(self._judge(self.judge_vars, jnp.asarray(sr)))
-            )
-            preds_lr = ctc_greedy_decode(
-                np.asarray(
-                    self._judge(self.judge_vars, jnp.asarray(arrays["images_lr"]))
-                )
-            )
-            preds_hr = ctc_greedy_decode(
-                np.asarray(self._judge(self.judge_vars, jnp.asarray(hr)))
-            )
+            preds_sr = self._judge_fn(jnp.asarray(sr))
+            preds_lr = self._judge_fn(jnp.asarray(arrays["images_lr"]))
+            preds_hr = self._judge_fn(jnp.asarray(hr))
             acc.add_batch(p, s, preds_sr, preds_lr, preds_hr, batch.label_strs)
         acc.infer_time = time.time() - t0
         return acc.summary()
