@@ -111,6 +111,11 @@ def resize_bilinear(
     return y.astype(dt)
 
 
+def upsample_nearest(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Torch ``F.interpolate(scale_factor=s)`` default (nearest) for NCHW."""
+    return x.repeat(scale, axis=-2).repeat(scale, axis=-1)
+
+
 def rgb_to_luma(x: jnp.ndarray) -> jnp.ndarray:
     """BT.601 luma used by every recognizer adapter
     (``interfaces/base.py:811-814``): 0.299 R + 0.587 G + 0.114 B.

@@ -86,6 +86,141 @@ def _tsrn(cfg: Config):
     )
 
 
+def _planes(cfg: Config) -> int:
+    return 4 if cfg.args.mask else 3
+
+
+@register("srcnn")
+def _srcnn(cfg: Config):
+    from tatt_tpu.models.zoo.simple import SRCNN
+
+    # reference feeds srcnn/vdsr/rdn 3 channels regardless of --mask
+    # (super_resolution.py:1038-1043)
+    return SRCNN(scale_factor=cfg.scale_factor, in_planes=3)
+
+
+@register("srcnn_tl")
+def _srcnn_tl(cfg: Config):
+    from tatt_tpu.models.zoo.simple import SRCNN_TL
+
+    return SRCNN_TL(
+        scale_factor=cfg.scale_factor,
+        in_planes=_planes(cfg),
+        height=cfg.TRAIN.height,
+        width=cfg.TRAIN.width,
+    )
+
+
+@register("vdsr")
+def _vdsr(cfg: Config):
+    from tatt_tpu.models.zoo.simple import VDSR
+
+    return VDSR(scale_factor=cfg.scale_factor, in_planes=3)
+
+
+@register("vdsr_tl")
+def _vdsr_tl(cfg: Config):
+    from tatt_tpu.models.zoo.simple import VDSR_TL
+
+    return VDSR_TL(
+        scale_factor=cfg.scale_factor,
+        in_planes=_planes(cfg),
+        height=cfg.TRAIN.height,
+        width=cfg.TRAIN.width,
+    )
+
+
+@register("scgan")
+def _scgan(cfg: Config):
+    from tatt_tpu.models.zoo.simple import SCGAN
+
+    return SCGAN(scale_factor=cfg.scale_factor, in_planes=_planes(cfg))
+
+
+@register("scgan_tl")
+def _scgan_tl(cfg: Config):
+    from tatt_tpu.models.zoo.simple import SCGAN_TL
+
+    return SCGAN_TL(
+        scale_factor=cfg.scale_factor,
+        in_planes=_planes(cfg),
+        height=cfg.TRAIN.height,
+        width=cfg.TRAIN.width,
+    )
+
+
+@register("bicubic")
+def _bicubic(cfg: Config):
+    from tatt_tpu.models.zoo.simple import BICUBIC
+
+    return BICUBIC(scale_factor=cfg.scale_factor)
+
+
+@register("srres")
+def _srres(cfg: Config):
+    from tatt_tpu.models.zoo.resnets import SRResNet
+
+    return SRResNet(scale_factor=cfg.scale_factor, mask=cfg.args.mask)
+
+
+@register("srresnet_tl")
+def _srresnet_tl(cfg: Config):
+    from tatt_tpu.models.zoo.resnets import SRResNet_TL
+
+    return SRResNet_TL(
+        scale_factor=cfg.scale_factor,
+        mask=cfg.args.mask,
+        height=cfg.TRAIN.height,
+        width=cfg.TRAIN.width,
+    )
+
+
+@register("edsr")
+def _edsr(cfg: Config):
+    from tatt_tpu.models.zoo.resnets import EDSR
+
+    return EDSR(scale_factor=cfg.scale_factor)
+
+
+@register("lapsrn")
+def _lapsrn(cfg: Config):
+    from tatt_tpu.models.zoo.resnets import LapSRN
+
+    return LapSRN(scale_factor=cfg.scale_factor, in_planes=3)
+
+
+@register("rdn")
+def _rdn(cfg: Config):
+    from tatt_tpu.models.zoo.resnets import RDN
+
+    return RDN(scale_factor=cfg.scale_factor, in_planes=3)
+
+
+@register("rdn_tl")
+def _rdn_tl(cfg: Config):
+    from tatt_tpu.models.zoo.resnets import RDN_TL
+
+    return RDN_TL(scale_factor=cfg.scale_factor, in_planes=_planes(cfg))
+
+
+@register("esrgan")
+def _esrgan(cfg: Config):
+    from tatt_tpu.models.zoo.esrgan import RRDBNet
+
+    return RRDBNet(
+        scale_factor=cfg.scale_factor, in_nc=_planes(cfg), out_nc=_planes(cfg)
+    )
+
+
+@register("esrgan_tl")
+def _esrgan_tl(cfg: Config):
+    from tatt_tpu.models.zoo.esrgan import RRDBNet_TL
+
+    return RRDBNet_TL(
+        scale_factor=cfg.scale_factor, in_nc=_planes(cfg), out_nc=_planes(cfg)
+    )
+
+
 @register("tsrn_tl_cascade")
 def _tsrn_tl(cfg: Config):
     from tatt_tpu.models.tsrn import TSRN_TL
