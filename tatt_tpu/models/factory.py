@@ -221,6 +221,63 @@ def _esrgan_tl(cfg: Config):
     )
 
 
+@register("han")
+def _han(cfg: Config):
+    from tatt_tpu.models.zoo.han import HAN
+
+    return HAN(scale=cfg.scale_factor)
+
+
+@register("pcan")
+def _pcan(cfg: Config):
+    from tatt_tpu.models.zoo.pcan import PCAN
+
+    return PCAN(
+        scale_factor=cfg.scale_factor,
+        srb_nums=cfg.args.srb,
+        mask=cfg.args.mask,
+        hidden_units=cfg.args.hd_u,
+    )
+
+
+@register("pcan_tl")
+def _pcan_tl(cfg: Config):
+    from tatt_tpu.models.zoo.pcan import PCAN_TL
+
+    return PCAN_TL(
+        scale_factor=cfg.scale_factor,
+        srb_nums=cfg.args.srb,
+        mask=cfg.args.mask,
+        hidden_units=cfg.args.hd_u,
+    )
+
+
+@register("tbsrn")
+def _tbsrn(cfg: Config):
+    # NOTE: the reference CLI lists tbsrn but its factory lacks the branch
+    # (base.py:368-369 raises) — we wire it up as evidently intended.
+    from tatt_tpu.models.zoo.tbsrn import TBSRN
+
+    return TBSRN(
+        scale_factor=cfg.scale_factor,
+        srb_nums=cfg.args.srb,
+        mask=cfg.args.mask,
+        hidden_units=cfg.args.hd_u,
+    )
+
+
+@register("tbsrn_tl")
+def _tbsrn_tl(cfg: Config):
+    from tatt_tpu.models.zoo.tbsrn import TBSRN_TL
+
+    return TBSRN_TL(
+        scale_factor=cfg.scale_factor,
+        srb_nums=cfg.args.srb,
+        mask=cfg.args.mask,
+        hidden_units=cfg.args.hd_u,
+    )
+
+
 @register("tsrn_tl_cascade")
 def _tsrn_tl(cfg: Config):
     from tatt_tpu.models.tsrn import TSRN_TL

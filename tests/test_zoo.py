@@ -65,3 +65,38 @@ def test_tl_models(model):
     y, aux = model.apply(variables, X4, T)
     assert y.shape == (2, 4, 32, 128)
     assert "spatial_t_emb" in aux
+
+
+def test_han():
+    from tatt_tpu.models.zoo.han import HAN
+
+    model = HAN(n_resgroups=2, n_resblocks=2, n_feats=16)
+    variables = model.init(RNG, X3)
+    y = model.apply(variables, X3)
+    assert y.shape == (2, 3, 32, 128)
+
+
+def test_pcan_and_tl():
+    from tatt_tpu.models.zoo.pcan import PCAN, PCAN_TL
+
+    model = PCAN(srb_nums=2, hidden_units=8)
+    variables = model.init(RNG, X4)
+    assert model.apply(variables, X4).shape == (2, 4, 32, 128)
+
+    model = PCAN_TL(srb_nums=2, hidden_units=8, out_text_channels=8)
+    variables = model.init(RNG, X4, T)
+    y, aux = model.apply(variables, X4, T)
+    assert y.shape == (2, 4, 32, 128)
+
+
+def test_tbsrn_and_tl():
+    from tatt_tpu.models.zoo.tbsrn import TBSRN, TBSRN_TL
+
+    model = TBSRN(srb_nums=1, hidden_units=32, mask=True)
+    variables = model.init(RNG, X4)
+    assert model.apply(variables, X4).shape == (2, 4, 32, 128)
+
+    model = TBSRN_TL(srb_nums=1, hidden_units=32, mask=True, out_text_channels=8)
+    variables = model.init(RNG, X4, T)
+    y, aux = model.apply(variables, X4, T)
+    assert y.shape == (2, 4, 32, 128)
