@@ -65,7 +65,8 @@ class Batch:
     images_lr_y: Optional[np.ndarray]
     label_strs: list[str]
     label_vecs: np.ndarray  # [B, A, 1, 26] spread one-hots
-    ctc_ids: np.ndarray  # flat CTC target ids
+    ctc_ids: np.ndarray  # flat CTC target ids (reference's weighted_mask)
+    ctc_targets: np.ndarray  # [B, max_len] dense padded CTC targets
     ctc_lengths: np.ndarray  # [B] per-sample target lengths
     weighted_tics: np.ndarray  # [B]
 
@@ -74,6 +75,8 @@ class Batch:
             "images_hr": self.images_hr,
             "images_lr": self.images_lr,
             "label_vecs": self.label_vecs,
+            "ctc_targets": self.ctc_targets,
+            "ctc_lengths": self.ctc_lengths,
             "weighted_tics": self.weighted_tics.astype(np.float32),
         }
 
@@ -118,6 +121,13 @@ def collate(
     # per-sample CTC lengths from label_vecs occupancy (train loop derives
     # text_len the same way, super_resolution.py:829-832)
     lengths = (label_vecs.sum(axis=1)[:, 0, :] > 0).sum(axis=1).astype(np.int32)
+    # dense padded targets (spread ids incl '-'->0, as the reference's
+    # flat weighted_mask encodes them)
+    ctc_targets = np.zeros((len(labels), max_len), dtype=np.int32)
+    pos = 0
+    for i, n in enumerate(lengths):
+        ctc_targets[i, :n] = ctc_ids[pos : pos + n]
+        pos += n
 
     return Batch(
         images_hr=np.stack(hrs),
@@ -127,6 +137,7 @@ def collate(
         label_strs=list(labels),
         label_vecs=label_vecs,
         ctc_ids=ctc_ids,
+        ctc_targets=ctc_targets,
         ctc_lengths=lengths,
         weighted_tics=tics,
     )

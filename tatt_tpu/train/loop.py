@@ -81,6 +81,7 @@ class Trainer:
             sr_share=cfg.args.sr_share or cfg.args.stu_iter == 1,
             tpg_share=cfg.args.tpg_share or cfg.args.stu_iter == 1,
             use_distill=cfg.args.use_distill,
+            use_label=cfg.args.use_label,
             gradient=cfg.args.gradient,
             ssim_loss=cfg.args.ssim_loss,
             tssim_loss=cfg.args.tssim_loss,

@@ -35,6 +35,7 @@ class StepConfig(NamedTuple):
     sr_share: bool = True
     tpg_share: bool = False
     use_distill: bool = True
+    use_label: bool = False
     gradient: bool = True
     ssim_loss: bool = False
     tssim_loss: bool = True
@@ -136,6 +137,24 @@ def make_train_step(
                     mutable=["batch_stats"],
                 )
                 new_sr_stats[pick] = sr_mut["batch_stats"]
+
+                if cfg.use_label:
+                    # text-focus CTC on the HR teacher logits against the
+                    # spread label ids (super_resolution.py:842-852)
+                    from tatt_tpu.kernels.ctc import ctc_loss
+
+                    log_probs = jax.nn.log_softmax(teacher_logits, axis=-1)
+                    t_frames = teacher_logits.shape[0]
+                    bsz = teacher_logits.shape[1]
+                    fsup = ctc_loss(
+                        log_probs,
+                        batch["ctc_targets"],
+                        jnp.full((bsz,), t_frames, jnp.int32),
+                        batch["ctc_lengths"],
+                    )
+                    loss_distill = loss_distill + (
+                        fsup * batch["weighted_tics"]
+                    ).mean()
 
                 if cfg.use_distill:
                     d = semantic_loss(label_vecs, label_vecs_hr) * 100.0
