@@ -278,6 +278,35 @@ def _tbsrn_tl(cfg: Config):
     )
 
 
+@register("tsrn_tl_cascade_sft")
+def _tsrn_tl_sft(cfg: Config):
+    from tatt_tpu.models.tsrn import TSRN_TL_SFT
+
+    return TSRN_TL_SFT(
+        scale_factor=cfg.scale_factor,
+        width=cfg.TRAIN.width,
+        height=cfg.TRAIN.height,
+        stn=cfg.args.STN,
+        srb_nums=cfg.args.srb,
+        mask=cfg.args.mask,
+        hidden_units=cfg.args.hd_u,
+        out_text_channels=2 * cfg.args.hd_u,
+    )
+
+
+@register("tsrn_c2f")
+def _tsrn_c2f(cfg: Config):
+    from tatt_tpu.models.tsrn import TSRN_C2F
+
+    return TSRN_C2F(
+        scale_factor=cfg.scale_factor,
+        stn=cfg.args.STN,
+        srb_nums=cfg.args.srb,
+        mask=cfg.args.mask,
+        hidden_units=cfg.args.hd_u,
+    )
+
+
 @register("tsrn_tl_cascade")
 def _tsrn_tl(cfg: Config):
     from tatt_tpu.models.tsrn import TSRN_TL

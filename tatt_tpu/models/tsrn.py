@@ -215,6 +215,135 @@ class TSRN_TL(nn.Module):
         return out, aux
 
 
+class SFTLayer(nn.Module):
+    """Scale/shift feature transform (``model/tsrn.py:227-242``):
+    out = fea * (scale(cond) + 1) + shift(cond).  The reference hard-codes
+    64ch (works only at default width); we follow the feature width."""
+
+    @nn.compact
+    def __call__(self, fea: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        out_ch = fea.shape[1]
+
+        def branch(name):
+            h = Conv2d(max(out_ch // 2, 1), (1, 1), padding=(0, 0), name=f"{name}0")(cond)
+            h = jnp.where(h >= 0, h, 0.1 * h)  # leaky_relu 0.1
+            return Conv2d(out_ch, (1, 1), padding=(0, 0), name=f"{name}1")(h)
+
+        scale = branch("SFT_scale_conv")
+        shift = branch("SFT_shift_conv")
+        return fea * (scale + 1.0) + shift
+
+
+class TSRN_TL_SFT(nn.Module):
+    """``model/tsrn.py:446-572``: InfoGen prior modulated by an SFT layer
+    conditioned on the stem features (arch ``tsrn_tl_cascade_sft``)."""
+
+    scale_factor: int = 2
+    width: int = 128
+    height: int = 32
+    stn: bool = False
+    srb_nums: int = 5
+    mask: bool = True
+    hidden_units: int = 32
+    text_emb: int = 37
+    out_text_channels: int = 64
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, text_emb: jnp.ndarray, train: bool = False
+    ) -> tuple[jnp.ndarray, dict[str, Any]]:
+        ch = 2 * self.hidden_units
+        in_planes = 4 if self.mask else 3
+        if self.stn and train:
+            ctrl = STNHead(name="stn_head")(x, train)
+            x = tps_transform(
+                x,
+                ctrl,
+                (self.height // self.scale_factor, self.width // self.scale_factor),
+            )
+        b1 = PReLU(name="block1_act")(
+            Conv2d(ch, (9, 9), padding=(4, 4), name="block1_conv")(x)
+        )
+        tp_raw = InfoGen(self.out_text_channels, name="infoGen")(text_emb, train)
+        tp = resize_bilinear(tp_raw, x.shape[2], x.shape[3], align_corners=True)
+        tp = SFTLayer(name="sft_layer")(b1, tp.astype(b1.dtype))
+        h = b1
+        for i in range(self.srb_nums):
+            h = RecurrentResidualBlockTL(ch, self.out_text_channels, name=f"srb{i+2}")(
+                h, tp, train
+            )
+        h = Conv2d(ch, name="post_conv")(h)
+        h = BatchNorm2d(name="post_bn")(h, train)
+        h = b1 + h
+        for i in range(int(math.log2(self.scale_factor))):
+            h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
+        out = jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), name="final_conv")(h))
+        return out, {"spatial_t_emb": tp_raw, "in_feat": b1, "trans_feat": tp}
+
+
+class TSRN_C2F(nn.Module):
+    """Coarse-to-fine TSRN (``model/tsrn.py:696-761``): a coarse RGB
+    projection is concatenated before the upsample tail; returns
+    (output, coarse)."""
+
+    scale_factor: int = 2
+    stn: bool = False
+    srb_nums: int = 5
+    mask: bool = True
+    hidden_units: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        ch = 2 * self.hidden_units
+        in_planes = 4 if self.mask else 3
+        if self.stn and train:
+            ctrl = STNHead(name="stn_head")(x, train)
+            x = tps_transform(x, ctrl, (x.shape[2], x.shape[3]))
+        b1 = PReLU(name="block1_act")(
+            Conv2d(ch, (9, 9), padding=(4, 4), name="block1_conv")(x)
+        )
+        h = b1
+        for i in range(self.srb_nums):
+            h = RecurrentResidualBlock(ch, name=f"srb{i+2}")(h, train)
+        h = Conv2d(ch, name="post_conv")(h)
+        h = BatchNorm2d(name="post_bn")(h, train)
+        coarse = Conv2d(in_planes, (9, 9), padding=(4, 4), name="coarse_proj")(h)
+        cat = jnp.concatenate([b1 + h, coarse], axis=1)
+        up = cat
+        for i in range(int(math.log2(self.scale_factor))):
+            up = UpsampleBlock(ch + in_planes, 2, name=f"up{i}")(up)
+        out = jnp.tanh(
+            Conv2d(in_planes, (9, 9), padding=(4, 4), name="final_conv")(up)
+        )
+        return out, coarse
+
+
+class TSRNEncoder(nn.Module):
+    """Feature-space TSRN without the upsample tail
+    (``model/tsrn.py:24-85``)."""
+
+    stn: bool = False
+    srb_nums: int = 5
+    mask: bool = True
+    hidden_units: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        ch = 2 * self.hidden_units
+        if self.stn and train:
+            ctrl = STNHead(name="stn_head")(x, train)
+            x = tps_transform(x, ctrl, (x.shape[2], x.shape[3]))
+        b1 = PReLU(name="block1_act")(
+            Conv2d(ch, (9, 9), padding=(4, 4), name="block1_conv")(x)
+        )
+        h = b1
+        for i in range(self.srb_nums):
+            h = RecurrentResidualBlock(ch, name=f"srb{i+2}")(h, train)
+        h = Conv2d(ch, name="post_conv")(h)
+        h = BatchNorm2d(name="post_bn")(h, train)
+        return b1 + h
+
+
 class TATT(nn.Module):
     """The TATT generator — ``TSRN_TL_TRANS`` (``model/tsrn.py:576-692``).
 

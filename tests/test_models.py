@@ -72,3 +72,25 @@ def test_tatt_train_mode_with_stn(rng):
         rngs={"dropout": jax.random.PRNGKey(1)},
     )[0]
     assert y.shape == (2, 4, 32, 128)
+
+
+def test_tsrn_tl_sft(rng):
+    from tatt_tpu.models.tsrn import TSRN_TL_SFT
+
+    model = TSRN_TL_SFT(srb_nums=1, hidden_units=4, out_text_channels=8)
+    x = jnp.zeros((2, 4, 16, 64))
+    t = jnp.zeros((2, 37, 1, 26))
+    variables = model.init(rng, x, t)
+    y, aux = model.apply(variables, x, t)
+    assert y.shape == (2, 4, 32, 128)
+
+
+def test_tsrn_c2f(rng):
+    from tatt_tpu.models.tsrn import TSRN_C2F
+
+    model = TSRN_C2F(srb_nums=1, hidden_units=4)
+    x = jnp.zeros((2, 4, 16, 64))
+    variables = model.init(rng, x)
+    y, coarse = model.apply(variables, x)
+    assert y.shape == (2, 4, 32, 128)
+    assert coarse.shape == (2, 4, 16, 64)
