@@ -1,0 +1,131 @@
+"""Synthetic degradation pipeline (host-side, cv2).
+
+Rebuilds the reference's manmade-degradation chain
+(``dataset/dataset.py:422-489``): pre-blur (sigma 5-6) -> shot+read noise
+-> Gaussian/bilateral noise reduction -> unsharp sharpening; plus the
+random blur ensemble the train collate applies to pseudo-LR images
+(``dataset.py:1636-1649``, imgaug).  imgaug is unavailable here, so the
+ensemble uses cv2 equivalents; MeanShiftBlur and Superpixels are
+approximated by pyrMeanShiftFiltering / block-average quantization.
+"""
+
+from __future__ import annotations
+
+import random
+
+import cv2
+import numpy as np
+from PIL import Image
+
+
+def gauss_unsharp_mask(rgb: np.ndarray, k: int, sigma: float, gain: float):
+    lf = cv2.GaussianBlur(rgb, (k, k), sigma)
+    hf = rgb - lf
+    return np.clip(rgb + hf * gain, 0.0, 255.0), lf
+
+
+def add_shot_gauss_noise(
+    rgb: np.ndarray, shot_noise_mean: float, read_noise: float, rng=np.random
+) -> np.ndarray:
+    noise_var = shot_noise_mean * rgb + read_noise
+    noise = rng.normal(loc=0.0, scale=np.sqrt(noise_var))
+    if rgb.mean() > 252.0:
+        return rgb
+    return np.clip(rgb + noise, 0.0, 255.0)
+
+
+def manmade_degradation(src_img: Image.Image, rng: random.Random | None = None) -> Image.Image:
+    """``degradation()`` (``dataset.py:442-489``)."""
+    rng = rng or random
+    gt = np.asarray(src_img).astype(np.float32)
+
+    k = rng.choice([3, 5])
+    pre = cv2.GaussianBlur(gt, (k, k), rng.uniform(5.0, 6.0))
+
+    if rng.random() > 0.2:
+        noised = add_shot_gauss_noise(
+            pre, rng.uniform(0, 0.005), rng.uniform(0, 0.015)
+        )
+    else:
+        noised = pre
+
+    noised = np.round(noised).astype(np.uint8)
+    if rng.uniform(0, 1.0) < 0.7:
+        nk = rng.choice([3, 5])
+        nr = cv2.GaussianBlur(noised, (nk, nk), rng.uniform(2.0, 3.0))
+    else:
+        nr = cv2.bilateralFilter(
+            noised, 7, rng.uniform(70, 80), rng.uniform(70, 80)
+        )
+
+    nr = nr.astype(np.float32)
+    sk = rng.choice([3, 5])
+    sharp, _ = gauss_unsharp_mask(nr, sk, rng.uniform(2.0, 3.0), rng.uniform(3.0, 4.0))
+    return Image.fromarray(sharp.astype(np.uint8))
+
+
+def _motion_blur(img: np.ndarray, k: int, rng) -> np.ndarray:
+    kernel = np.zeros((k, k), np.float32)
+    angle = rng.uniform(0, 180)
+    c = (k - 1) / 2
+    dx, dy = np.cos(np.radians(angle)), np.sin(np.radians(angle))
+    for t in np.linspace(-c, c, k * 2):
+        x, y = int(round(c + t * dx)), int(round(c + t * dy))
+        if 0 <= x < k and 0 <= y < k:
+            kernel[y, x] = 1
+    kernel /= max(kernel.sum(), 1)
+    return cv2.filter2D(img, -1, kernel)
+
+
+def _superpixel_like(img: np.ndarray, n_segments: int, p_replace: float, rng) -> np.ndarray:
+    """Approximate imgaug.Superpixels: average color over a coarse grid."""
+    h, w = img.shape[:2]
+    grid = max(int(np.sqrt(n_segments)), 1)
+    out = img.copy()
+    ys = np.linspace(0, h, grid + 1, dtype=int)
+    xs = np.linspace(0, w, grid + 1, dtype=int)
+    for i in range(grid):
+        for j in range(grid):
+            if rng.random() < p_replace:
+                cell = out[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
+                if cell.size:
+                    cell[:] = cell.mean(axis=(0, 1), keepdims=True)
+    return out
+
+
+def blur_ensemble(img: Image.Image, rng: random.Random | None = None, p: float = 0.2) -> Image.Image:
+    """The collate's random blur ensemble (``dataset.py:1636-1649``):
+    each of 7 augmenters applies with probability ``p``, random order."""
+    rng = rng or random
+    arr = np.asarray(img)
+
+    def gaussian(a):
+        return cv2.GaussianBlur(a, (5, 5), rng.uniform(0.0, 3.0) + 1e-6)
+
+    def average(a):
+        k = rng.choice([1, 3, 5])
+        return cv2.blur(a, (k, k))
+
+    def median(a):
+        k = rng.choice([3, 5, 7])
+        return cv2.medianBlur(a, k)
+
+    def bilateral(a):
+        d = rng.choice([3, 5, 7, 9])
+        return cv2.bilateralFilter(a, d, rng.uniform(10, 250), rng.uniform(10, 250))
+
+    def motion(a):
+        return _motion_blur(a, 3, rng)
+
+    def meanshift(a):
+        return cv2.pyrMeanShiftFiltering(a, sp=5, sr=20)
+
+    def superpixels(a):
+        return _superpixel_like(a, rng.randint(1, 7), rng.uniform(0.1, 0.5), rng)
+
+    augs = [gaussian, average, median, bilateral, motion, meanshift, superpixels]
+    rng.shuffle(augs)
+    for aug in augs:
+        if rng.random() < p:
+            arr = aug(np.ascontiguousarray(arr))
+    return Image.fromarray(arr)
