@@ -149,6 +149,29 @@ def main(argv=None) -> int:
     if cfg.resume:
         trainer.resume(cfg.resume)
 
+    if cfg.args.demo:
+        import numpy as np
+
+        from tatt_tpu.train.demo import run_demo
+
+        def sr_fn(lr):
+            import jax.numpy as jnp
+
+            sr, _ = trainer._eval_step(trainer.state, {"images_lr": jnp.asarray(lr)})
+            return np.asarray(sr)
+
+        run_demo(
+            cfg.args.demo_dir,
+            sr_fn,
+            trainer._judge_fn,
+            out_dir=os.path.join("demo_out", cfg.vis_dir),
+            width=cfg.TRAIN.width,
+            height=cfg.TRAIN.height,
+            scale=cfg.scale_factor,
+            mask=cfg.args.mask,
+        )
+        return 0
+
     if cfg.args.go_test or cfg.args.test:
         for name, ds in val_sets.items():
             summary = trainer.evaluate(ds)
