@@ -344,6 +344,82 @@ class TSRNEncoder(nn.Module):
         return b1 + h
 
 
+class ReasoningResidualBlock(nn.Module):
+    """``model/tsrn.py:945-976``: SRB whose recurrence is replaced by a
+    self-attention FeatureEnhancerW2V.  NOTE the reference's enhancer
+    ignores its word2vec argument entirely (``model_transformer.py:420-444``
+    — the projection is commented out), so this block takes no word input.
+    """
+
+    channels: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, deterministic: bool = True
+    ) -> jnp.ndarray:
+        from tatt_tpu.models.transformer import MultiheadAttention
+        from tatt_tpu.models.common import Dense
+        from tatt_tpu.models.zoo.tbsrn import TorchLayerNorm
+
+        r = Conv2d(self.channels, name="conv1")(x)
+        r = mish(BatchNorm2d(name="bn1")(r, train))
+        r = Conv2d(self.channels, name="conv2")(r)
+        r = BatchNorm2d(name="bn2")(r, train)
+        n, c, h, w = r.shape
+        tokens = r.reshape(n, c, h * w).transpose(0, 2, 1)  # [N, T, C]
+        attn, _ = MultiheadAttention(c, 4, self.dropout, name="mask_multihead")(
+            tokens, tokens, tokens, deterministic
+        )
+        tokens = TorchLayerNorm(name="norm1")(tokens + attn)
+        ff = Dense(c, name="pff_w1")(tokens)
+        ff = Dense(c, name="pff_w2")(jnp.maximum(ff, 0.0))
+        tokens = TorchLayerNorm(name="norm3")(tokens + ff)
+        r = tokens.transpose(0, 2, 1).reshape(n, c, h, w)
+        return x + r
+
+
+class SEM_TSRN(nn.Module):
+    """Word2vec-semantic TSRN ablation (``model/tsrn.py:764-848``): every
+    SRB predicts a word vector via ``ImFeat2WordVec`` (returned for the
+    semantic loss) and runs a reasoning block."""
+
+    scale_factor: int = 2
+    stn: bool = False
+    srb_nums: int = 5
+    mask: bool = True
+    hidden_units: int = 32
+    word_vec_d: int = 300
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, deterministic: bool = True
+    ):
+        from tatt_tpu.models.common import Dense
+
+        ch = 2 * self.hidden_units
+        in_planes = 4 if self.mask else 3
+        if self.stn and train:
+            ctrl = STNHead(name="stn_head")(x, train)
+            x = tps_transform(x, ctrl, (x.shape[2], x.shape[3]))
+        b1 = PReLU(name="block1_act")(
+            Conv2d(ch, (9, 9), padding=(4, 4), name="block1_conv")(x)
+        )
+        w2v_proj = Dense(self.word_vec_d, name="w2v_proj")
+        h = b1
+        pred_vecs = []
+        for i in range(self.srb_nums):
+            pred_vecs.append(w2v_proj(h.mean(axis=(2, 3))))
+            h = ReasoningResidualBlock(ch, name=f"srb{i+2}")(h, train, deterministic)
+        h = Conv2d(ch, name="post_conv")(h)
+        h = BatchNorm2d(name="post_bn")(h, train)
+        h = b1 + h
+        for i in range(int(math.log2(self.scale_factor))):
+            h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
+        out = jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), name="final_conv")(h))
+        return out, pred_vecs
+
+
 class TATT(nn.Module):
     """The TATT generator — ``TSRN_TL_TRANS`` (``model/tsrn.py:576-692``).
 

@@ -94,3 +94,14 @@ def test_tsrn_c2f(rng):
     y, coarse = model.apply(variables, x)
     assert y.shape == (2, 4, 32, 128)
     assert coarse.shape == (2, 4, 16, 64)
+
+
+def test_sem_tsrn(rng):
+    from tatt_tpu.models.tsrn import SEM_TSRN
+
+    model = SEM_TSRN(srb_nums=1, hidden_units=4)
+    x = jnp.zeros((2, 4, 16, 64))
+    variables = model.init(rng, x)
+    y, vecs = model.apply(variables, x)
+    assert y.shape == (2, 4, 32, 128)
+    assert len(vecs) == 1 and vecs[0].shape == (2, 300)
