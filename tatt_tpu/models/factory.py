@@ -278,6 +278,15 @@ def _tbsrn_tl(cfg: Config):
     )
 
 
+@register("tranSR_v4")
+def _transr_v4(cfg: Config):
+    from tatt_tpu.models.zoo.transformer_sr import SRTransformerV4
+
+    return SRTransformerV4(
+        scale_factor=cfg.scale_factor, in_planes=_planes(cfg)
+    )
+
+
 @register("tsrn_tl_cascade_sft")
 def _tsrn_tl_sft(cfg: Config):
     from tatt_tpu.models.tsrn import TSRN_TL_SFT

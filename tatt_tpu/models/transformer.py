@@ -149,6 +149,48 @@ class EncoderLayer(nn.Module):
         return src
 
 
+class DecoderLayer(nn.Module):
+    """Full post-norm decoder layer with self-attention
+    (``transformer_v2.py:707-734``): self-attn(q=k=tgt+query_pos, v=tgt)
+    -> add&norm -> cross-attn -> add&norm -> FFN -> add&norm."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt: jnp.ndarray,
+        memory: jnp.ndarray,
+        pos: Optional[jnp.ndarray],
+        query_pos: Optional[jnp.ndarray],
+        deterministic: bool = True,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        drop = lambda y: (
+            y
+            if deterministic or self.dropout == 0.0
+            else nn.Dropout(rate=self.dropout, deterministic=False)(y)
+        )
+        q = tgt if query_pos is None else tgt + query_pos
+        sa, _ = MultiheadAttention(
+            self.d_model, self.nhead, self.dropout, name="self_attn"
+        )(q, q, tgt, deterministic)
+        tgt = LayerNorm(name="norm1")(tgt + drop(sa))
+        qc = tgt if query_pos is None else tgt + query_pos
+        k = memory if pos is None else memory + pos
+        ca, attn_weights = MultiheadAttention(
+            self.d_model, self.nhead, self.dropout, name="multihead_attn"
+        )(qc, k, memory, deterministic)
+        tgt = LayerNorm(name="norm2")(tgt + drop(ca))
+        ff = Dense(self.dim_feedforward, name="linear1")(tgt)
+        ff = drop(jax.nn.relu(ff))
+        ff = Dense(self.d_model, name="linear2")(ff)
+        tgt = LayerNorm(name="norm3")(tgt + drop(ff))
+        return tgt, attn_weights
+
+
 class TPDecoderLayer(nn.Module):
     """``TransformerDecoderLayer_TP.forward_post`` (:806-833): the
     self-attention block is commented out in the reference, so this is

@@ -100,3 +100,12 @@ def test_tbsrn_and_tl():
     variables = model.init(RNG, X4, T)
     y, aux = model.apply(variables, X4, T)
     assert y.shape == (2, 4, 32, 128)
+
+
+def test_transr_v4():
+    from tatt_tpu.models.zoo.transformer_sr import SRTransformerV4
+
+    model = SRTransformerV4(t_encoder_num=1, t_decoder_num=1, d_model=1024)
+    variables = model.init(RNG, X4, T)
+    y, aux = model.apply(variables, X4, T)
+    assert y.shape == (2, 4, 32, 128)
