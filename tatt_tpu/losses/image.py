@@ -30,6 +30,65 @@ def gradient_prior_loss(out_images: jnp.ndarray, target_images: jnp.ndarray) -> 
     return diff.mean(axis=(1, 2, 3))
 
 
+def mse_loss(out_images: jnp.ndarray, target_images: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample MSE [N] (``nn.MSELoss`` with late .mean())."""
+    return ((out_images - target_images) ** 2).mean(axis=(1, 2, 3))
+
+
+def l1_loss(out_images: jnp.ndarray, target_images: jnp.ndarray) -> jnp.ndarray:
+    return jnp.abs(out_images - target_images).mean(axis=(1, 2, 3))
+
+
+def charbonnier_loss(
+    out_images: jnp.ndarray, target_images: jnp.ndarray, eps: float = 1e-6
+) -> jnp.ndarray:
+    """L1-Charbonnier (``model/lapsrn.py:126-137``; the reference sums, we
+    keep per-sample means so the x100 train weighting stays comparable)."""
+    diff = out_images - target_images
+    return jnp.sqrt(diff * diff + eps).mean(axis=(1, 2, 3))
+
+
+def _sobel_map(x: jnp.ndarray) -> jnp.ndarray:
+    """Sobel edge magnitude over RGB (``loss/image_loss.py:88-126``)."""
+    import jax
+
+    kh = jnp.asarray(
+        [[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]], x.dtype
+    )
+    kv = jnp.asarray(
+        [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], x.dtype
+    )
+    c = x.shape[1]
+
+    def conv(img, k):
+        kernel = jnp.broadcast_to(k[None, None], (c, c, 3, 3))
+        return jax.lax.conv_general_dilated(
+            img,
+            kernel,
+            (1, 1),
+            [(1, 1), (1, 1)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+
+    h = conv(x, kh)
+    v = conv(x, kv)
+    return jnp.sqrt((h * 0.5) ** 2 + (v * 0.5) ** 2 + 1e-6)
+
+
+def edge_image_loss(
+    out_images: jnp.ndarray,
+    target_images: jnp.ndarray,
+    loss_weight: tuple[float, float] = (20.0, 1e-4),
+) -> jnp.ndarray:
+    """``EdgeImageLoss`` (``loss/image_loss.py:61-80``): w0*MSE +
+    w1*0.1*L1(sobel maps); scalar in the reference — returned per-sample."""
+    mse = mse_loss(out_images, target_images)
+    edge = jnp.abs(
+        _sobel_map(out_images[:, :3]) - _sobel_map(target_images[:, :3])
+    ).mean(axis=(1, 2, 3))
+    return loss_weight[0] * mse + loss_weight[1] * edge * 0.1
+
+
 def image_loss(
     out_images: jnp.ndarray,
     target_images: jnp.ndarray,

@@ -53,6 +53,33 @@ def available_archs() -> list[str]:
     return sorted(_REGISTRY)
 
 
+def build_criterion(arch: str, cfg: Config):
+    """Per-sample image criterion per arch, mirroring ``generator_init``
+    (``interfaces/base.py:255-444``): ImageLoss([1,1e-4]) for the TL/TATT
+    family, MSE / L1 / Charbonnier / EdgeImageLoss for the baselines."""
+    from functools import partial
+
+    from tatt_tpu.losses.image import (
+        charbonnier_loss,
+        edge_image_loss,
+        image_loss,
+        l1_loss,
+        mse_loss,
+    )
+
+    mse_archs = {"srcnn", "vdsr", "srres", "han", "srcnn_tl", "srresnet_tl", "vdsr_tl", "bicubic"}
+    l1_archs = {"esrgan", "scgan", "rdn", "edsr", "esrgan_tl", "scgan_tl", "rdn_tl"}
+    if arch in mse_archs:
+        return mse_loss
+    if arch in l1_archs:
+        return l1_loss
+    if arch == "lapsrn":
+        return charbonnier_loss
+    if arch == "pcan":
+        return edge_image_loss
+    return partial(image_loss, gradient=cfg.args.gradient, loss_weight=(1.0, 1e-4))
+
+
 @register("tatt")
 def _tatt(cfg: Config):
     from tatt_tpu.models.tsrn import TATT

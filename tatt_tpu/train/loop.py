@@ -24,11 +24,16 @@ from tatt_tpu.core.mesh import make_mesh, pad_to_multiple, replicate, shard_batc
 from tatt_tpu.data.loader import DataLoader
 from tatt_tpu.losses.ssim import psnr as psnr_fn
 from tatt_tpu.losses.ssim import ssim as ssim_fn
-from tatt_tpu.models.factory import build_generator
+from tatt_tpu.models.factory import ABLATION_SET, build_criterion, build_generator
 from tatt_tpu.models.recognizers.crnn import CRNN, parse_crnn_input
 from tatt_tpu.train.metrics import EvalAccumulator
 from tatt_tpu.train.state import TrainState, make_optimizer
-from tatt_tpu.train.steps import StepConfig, make_eval_step, make_train_step
+from tatt_tpu.train.steps import (
+    StepConfig,
+    make_eval_step,
+    make_plain_train_step,
+    make_train_step,
+)
 
 
 class Trainer:
@@ -55,12 +60,31 @@ class Trainer:
             else CRNN()
         )
 
+        self.uses_prior = cfg.args.arch in ABLATION_SET
+        # reference feeds 3 channels to srcnn/rdn/vdsr regardless of --mask
+        # (super_resolution.py:1038-1043)
+        self.channels = 3 if cfg.args.arch in ("srcnn", "rdn", "vdsr", "edsr", "lapsrn", "han") else (
+            4 if cfg.args.mask else 3
+        )
+
         rng = jax.random.PRNGKey(cfg.TRAIN.manualSeed)
         k1, k2, k3 = jax.random.split(rng, 3)
-        x = jnp.zeros((2, 4 if cfg.args.mask else 3, cfg.TRAIN.height // cfg.scale_factor, cfg.TRAIN.width // cfg.scale_factor))
+        x = jnp.zeros(
+            (
+                2,
+                4 if cfg.args.mask else 3,
+                cfg.TRAIN.height // cfg.scale_factor,
+                cfg.TRAIN.width // cfg.scale_factor,
+            )
+        )
         t = jnp.zeros((2, cfg.MODEL.text_emb, 1, 26))
         luma = jnp.zeros((2, 1, 32, 100))
-        sr_vars = self.sr_model.init(k1, x, t, train=True)
+        if self.uses_prior:
+            sr_vars = self.sr_model.init(k1, x, t, train=True)
+        else:
+            sr_vars = self.sr_model.init(
+                k1, x[:, : self.channels], train=True
+            )
         stu_vars = (
             {"params": teacher_variables["params"], "batch_stats": teacher_variables.get("batch_stats", {})}
             if teacher_variables is not None
@@ -94,14 +118,50 @@ class Trainer:
                 variables, lr, prior, train=train, rngs=rngs, mutable=mutable
             )
 
+        def sr_apply_plain(variables, lr, train, rngs=None, mutable=False):
+            out = self.sr_model.apply(
+                variables, lr, train=train, rngs=rngs, mutable=mutable
+            )
+            # normalize to (sr, mutated): models may return bare arrays and
+            # mutable=False returns no mutation dict
+            if mutable:
+                sr, mut = out
+            else:
+                sr, mut = out, {"batch_stats": {}}
+            if isinstance(sr, tuple):
+                sr = sr[0]
+            return sr, mut
+
         def crnn_apply(variables, luma_in, train, mutable=False):
             return self.crnn.apply(variables, luma_in, train=train, mutable=mutable)
 
-        self._train_step = jax.jit(
-            make_train_step(sr_apply, crnn_apply, crnn_apply, self.step_cfg),
-            donate_argnums=0,
-        )
-        self._eval_step = jax.jit(make_eval_step(sr_apply, crnn_apply))
+        if self.uses_prior:
+            self._train_step = jax.jit(
+                make_train_step(sr_apply, crnn_apply, crnn_apply, self.step_cfg),
+                donate_argnums=0,
+            )
+            self._eval_step = jax.jit(make_eval_step(sr_apply, crnn_apply))
+        else:
+            criterion = build_criterion(cfg.args.arch, cfg)
+            self._train_step_plain = jax.jit(
+                make_plain_train_step(
+                    sr_apply_plain, criterion, self.step_cfg, self.channels
+                ),
+                donate_argnums=0,
+            )
+
+            def plain_eval(state, batch):
+                sr, _ = sr_apply_plain(
+                    {
+                        "params": state.sr_params[0],
+                        "batch_stats": state.sr_batch_stats[0],
+                    },
+                    batch["images_lr"][:, : self.channels],
+                    False,
+                )
+                return sr, {}
+
+            self._eval_step = jax.jit(plain_eval)
         # judge per --test_model; defaults to the teacher CRNN weights when
         # no dedicated judge checkpoint is supplied
         if judge_variables is not None:
@@ -181,9 +241,14 @@ class Trainer:
             for batch in self.train_loader:
                 arrays = batch.device_arrays()
                 sharded = shard_batch(self.mesh, arrays)
-                state, metrics = self._train_step(
-                    state, teacher, sharded, jax.random.PRNGKey(iters)
-                )
+                if self.uses_prior:
+                    state, metrics = self._train_step(
+                        state, teacher, sharded, jax.random.PRNGKey(iters)
+                    )
+                else:
+                    state, metrics = self._train_step_plain(
+                        state, sharded, jax.random.PRNGKey(iters)
+                    )
                 iters += 1
                 images_seen += arrays["images_lr"].shape[0]
 

@@ -223,6 +223,94 @@ def make_train_step(
     return step_fn
 
 
+def make_plain_train_step(
+    sr_apply: Callable,
+    criterion: Callable,
+    cfg: StepConfig,
+    channels: int = 4,
+):
+    """Train step for archs without a text prior (reference branches at
+    ``super_resolution.py:664-688`` for tsrn and ``:1037-1063`` for the
+    baselines): image criterion x100, optional SSIM/TSSIM terms.
+
+    ``sr_apply(variables, lr, train, rngs, mutable) -> (sr, mutated)``.
+    """
+
+    def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        images_hr = batch["images_hr"][:, :channels]
+        images_lr = batch["images_lr"][:, :channels]
+        rot_rng, drop_rng = jax.random.split(rng)
+
+        if cfg.rotate_train:
+            b = images_lr.shape[0]
+            a_rng, o_rng = jax.random.split(rot_rng)
+            angle = (jax.random.uniform(a_rng, (b,)) * 2.0 - 1.0) * cfg.rotate_train
+            arc = angle / 180.0 * math.pi
+            rand_offs = jax.random.uniform(o_rng, (b,))
+            images_lr = rotate_batch(images_lr, arc, rand_offs)
+            images_hr = rotate_batch(images_hr, arc, rand_offs)
+            images_lr_ret = rotate_batch(images_lr, -arc, rand_offs)
+        else:
+            arc = rand_offs = None
+            images_lr_ret = images_lr
+
+        def loss_fn(params):
+            sr_vars = {
+                "params": params["sr"][0],
+                "batch_stats": state.sr_batch_stats[0],
+            }
+            sr, mut = sr_apply(
+                sr_vars,
+                images_lr,
+                True,
+                rngs={"dropout": drop_rng},
+                mutable=["batch_stats"],
+            )
+            metrics = {}
+            loss = criterion(sr, images_hr).mean() * 100.0
+            metrics["loss_sr"] = loss
+            if cfg.ssim_loss:
+                s = (1.0 - ssim_fn(sr, images_hr)) * 10.0
+                loss = loss + s
+                metrics["loss_ssim"] = s
+            if cfg.tssim_loss:
+                sr_ret, mut = sr_apply(
+                    {"params": params["sr"][0], "batch_stats": mut["batch_stats"]},
+                    images_lr_ret,
+                    True,
+                    rngs={"dropout": jax.random.fold_in(drop_rng, 1)},
+                    mutable=["batch_stats"],
+                )
+                if cfg.rotate_train:
+                    sr_ret = rotate_batch(sr_ret, arc, rand_offs)
+                ts = (1.0 - tri_ssim(sr_ret, sr, images_hr)) * 10.0
+                loss = loss + ts
+                metrics["loss_tssim"] = ts
+            metrics["loss_total"] = loss
+            return loss, ((mut["batch_stats"],), metrics)
+
+        params = {"sr": state.sr_params, "student": state.student_params}
+        (loss, (sr_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        grads = {
+            "sr": clip_grads_per_model(grads["sr"], cfg.grad_clip),
+            "student": grads["student"],
+        }
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            sr_params=new_params["sr"],
+            student_params=new_params["student"],
+            sr_batch_stats=sr_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return step_fn
+
+
 def make_eval_step(sr_apply: Callable, student_apply: Callable):
     """Eval: student prior -> SR forward (eval mode), mirroring
     ``model_inference`` (``super_resolution.py:240-449``).  Returns the SR
