@@ -1,0 +1,55 @@
+"""Pallas fused GRU vs the lax.scan reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tatt_tpu.kernels.pallas_gru import bigru_pallas
+from tatt_tpu.kernels.rnn import bigru_apply
+
+RNG = np.random.default_rng(0)
+
+
+def _params(in_f, hidden):
+    w_ih = RNG.standard_normal((2, 3 * hidden, in_f)).astype(np.float32) * 0.2
+    w_hh = RNG.standard_normal((2, 3 * hidden, hidden)).astype(np.float32) * 0.2
+    b_ih = RNG.standard_normal((2, 3 * hidden)).astype(np.float32) * 0.1
+    b_hh = RNG.standard_normal((2, 3 * hidden)).astype(np.float32) * 0.1
+    return w_ih, w_hh, b_ih, b_hh
+
+
+def test_pallas_gru_forward_matches_scan():
+    rows, length, in_f, hidden = 8, 12, 16, 8
+    x = RNG.standard_normal((rows, length, in_f)).astype(np.float32)
+    params = _params(in_f, hidden)
+    want = np.asarray(bigru_apply(jnp.asarray(x), *map(jnp.asarray, params)))
+    got = np.asarray(
+        bigru_pallas(jnp.asarray(x), *map(jnp.asarray, params), interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_pallas_gru_grad_matches_scan():
+    rows, length, in_f, hidden = 4, 6, 8, 8
+    x = RNG.standard_normal((rows, length, in_f)).astype(np.float32)
+    w_ih, w_hh, b_ih, b_hh = map(jnp.asarray, _params(in_f, hidden))
+
+    def loss_scan(x_, w_ih_, w_hh_, b_hh_):
+        y = bigru_apply(x_, w_ih_, w_hh_, b_ih, b_hh_)
+        return (y * jnp.cos(jnp.arange(y.size).reshape(y.shape))).sum()
+
+    def loss_pallas(x_, w_ih_, w_hh_, b_hh_):
+        y = bigru_pallas(x_, w_ih_, w_hh_, b_ih, b_hh_, interpret=True)
+        return (y * jnp.cos(jnp.arange(y.size).reshape(y.shape))).sum()
+
+    want = jax.grad(loss_scan, argnums=(0, 1, 2, 3))(
+        jnp.asarray(x), w_ih, w_hh, b_hh
+    )
+    got = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(
+        jnp.asarray(x), w_ih, w_hh, b_hh
+    )
+    for g, w, name in zip(got, want, ("dx", "dw_ih", "dw_hh", "db_hh")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=2e-4, rtol=1e-3, err_msg=name
+        )
