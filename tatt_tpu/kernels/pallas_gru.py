@@ -34,49 +34,53 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _gru_fwd_kernel(w_ref, b_ref, gx_ref, ys_ref, h_ref):
-    """One timestep.  w: [2, 3H, H]; b: [2, 3H, 1]; gx block: [1, 2, 3H, R];
-    ys block: [1, 2, H, R]; h scratch: [2, H, R]."""
+    """One grid step = CHUNK timesteps.  w: [2, 3H, H]; b: [2, 3H, 1];
+    gx block: [C, 2, 3H, R]; ys block: [C, 2, H, R]; h scratch: [2, H, R]."""
     t = pl.program_id(0)
+    chunk = gx_ref.shape[0]
     hdim = h_ref.shape[1]
 
     @pl.when(t == 0)
     def _():
         h_ref[...] = jnp.zeros_like(h_ref)
 
-    for d in range(2):
-        h = h_ref[d]  # [H, R]
-        gh = (
-            jnp.dot(w_ref[d], h, preferred_element_type=jnp.float32)
-            + b_ref[d]
-        )  # [3H, R]
-        gx = gx_ref[0, d]  # [3H, R]
-        xr, xz, xn = (
-            gx[0:hdim],
-            gx[hdim : 2 * hdim],
-            gx[2 * hdim : 3 * hdim],
-        )
-        hr, hz, hn = (
-            gh[0:hdim],
-            gh[hdim : 2 * hdim],
-            gh[2 * hdim : 3 * hdim],
-        )
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * h
-        h_ref[d] = h_new
-        ys_ref[0, d] = h_new.astype(ys_ref.dtype)
+    for s in range(chunk):
+        for d in range(2):
+            h = h_ref[d]  # [H, R]
+            gh = (
+                jnp.dot(w_ref[d], h, preferred_element_type=jnp.float32)
+                + b_ref[d]
+            )  # [3H, R]
+            gx = gx_ref[s, d]  # [3H, R]
+            xr, xz, xn = (
+                gx[0:hdim],
+                gx[hdim : 2 * hdim],
+                gx[2 * hdim : 3 * hdim],
+            )
+            hr, hz, hn = (
+                gh[0:hdim],
+                gh[hdim : 2 * hdim],
+                gh[2 * hdim : 3 * hdim],
+            )
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h_new = (1.0 - z) * n + z * h
+            h_ref[d] = h_new
+            ys_ref[s, d] = h_new.astype(ys_ref.dtype)
 
 
 def _gru_bwd_kernel(
     w_ref, b_ref, gx_ref, ys_prev_ref, dys_ref, dgx_ref, dw_ref, db_ref,
     dh_ref,
 ):
-    """Reverse-time step.  Grid index i maps to time t = L-1-i (the caller
-    flips the index maps).  ys_prev block = h_{t-1} (zeros handled at t=0
-    by masking).  Accumulates dw/db in f32 scratch-like outputs."""
+    """Reverse-time grid step of CHUNK timesteps.  Grid index i maps to
+    chunk (nchunks-1-i); within the chunk, time runs backwards.
+    ``ys_prev`` is the hidden state sequence shifted by one (zeros at t=0,
+    built by the caller), so no masking is needed.  dw/db accumulate
+    across the whole grid in f32 output blocks."""
     i = pl.program_id(0)
-    nsteps = pl.num_programs(0)
+    chunk = gx_ref.shape[0]
     hdim = dh_ref.shape[1]
 
     @pl.when(i == 0)
@@ -85,58 +89,66 @@ def _gru_bwd_kernel(
         dw_ref[...] = jnp.zeros_like(dw_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
 
-    is_first_step = i == nsteps - 1  # t == 0
+    for s in range(chunk - 1, -1, -1):
+        for d in range(2):
+            h_prev = ys_prev_ref[s, d].astype(jnp.float32)
+            gh = (
+                jnp.dot(w_ref[d], h_prev, preferred_element_type=jnp.float32)
+                + b_ref[d]
+            )
+            gx = gx_ref[s, d]
+            xr, xz, xn = gx[0:hdim], gx[hdim : 2 * hdim], gx[2 * hdim : 3 * hdim]
+            hr, hz, hn = gh[0:hdim], gh[hdim : 2 * hdim], gh[2 * hdim : 3 * hdim]
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
 
-    for d in range(2):
-        h_prev = jnp.where(
-            is_first_step, jnp.zeros_like(ys_prev_ref[0, d]), ys_prev_ref[0, d]
-        ).astype(jnp.float32)
-        gh = (
-            jnp.dot(w_ref[d], h_prev, preferred_element_type=jnp.float32)
-            + b_ref[d]
-        )
-        gx = gx_ref[0, d]
-        xr, xz, xn = gx[0:hdim], gx[hdim : 2 * hdim], gx[2 * hdim : 3 * hdim]
-        hr, hz, hn = gh[0:hdim], gh[hdim : 2 * hdim], gh[2 * hdim : 3 * hdim]
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
+            dh = dh_ref[d] + dys_ref[s, d].astype(jnp.float32)
+            dz = dh * (h_prev - n) * z * (1.0 - z)
+            dn = dh * (1.0 - z) * (1.0 - n * n)
+            dr = dn * hn * r * (1.0 - r)
+            d_ghn = dn * r
+            # hidden-gate grads: [dr, dz, dn*r]; input-gate grads differ in
+            # the n slot (xn enters pre-tanh directly): [dr, dz, dn]
+            d_gh = jnp.concatenate([dr, dz, d_ghn], axis=0)  # [3H, R]
+            d_gx = jnp.concatenate([dr, dz, dn], axis=0)
+            dgx_ref[s, d] = d_gx.astype(dgx_ref.dtype)
 
-        dh = dh_ref[d] + dys_ref[0, d].astype(jnp.float32)
-        dz = dh * (h_prev - n) * z * (1.0 - z)
-        dn = dh * (1.0 - z) * (1.0 - n * n)
-        dr = dn * hn * r * (1.0 - r)
-        d_ghn = dn * r
-        # hidden-gate grads: [dr, dz, dn*r]; input-gate grads differ in the
-        # n slot (xn enters pre-tanh directly): [dr, dz, dn]
-        d_gh = jnp.concatenate([dr, dz, d_ghn], axis=0)  # [3H, R]
-        d_gx = jnp.concatenate([dr, dz, dn], axis=0)
-        dgx_ref[0, d] = d_gx.astype(dgx_ref.dtype)
+            dw_ref[d] += jnp.dot(
+                d_gh, h_prev.T, preferred_element_type=jnp.float32
+            )
+            db_ref[d] += d_gh.sum(axis=1, keepdims=True)
 
-        dw_ref[d] += jnp.dot(
-            d_gh, h_prev.T, preferred_element_type=jnp.float32
-        )
-        db_ref[d] += d_gh.sum(axis=1, keepdims=True)
+            dh_prev = dh * z + jnp.dot(
+                w_ref[d].T, d_gh, preferred_element_type=jnp.float32
+            )
+            dh_ref[d] = dh_prev
 
-        dh_prev = dh * z + jnp.dot(
-            w_ref[d].T, d_gh, preferred_element_type=jnp.float32
-        )
-        dh_ref[d] = dh_prev
+
+def _pick_chunk(length: int, gdim: int, rows: int) -> int:
+    """Largest divisor of L whose gate block stays well under VMEM."""
+    budget = 3 * 1024 * 1024  # bytes for the gx block (x2-3 for pipelining)
+    best = 1
+    for c in range(1, length + 1):
+        if length % c == 0 and c * 2 * gdim * rows * 4 <= budget:
+            best = c
+    return best
 
 
 def _fwd_call(gates_x: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
               interpret: bool) -> jnp.ndarray:
     length, _, gdim, rows = gates_x.shape
     hdim = gdim // 3
+    chunk = _pick_chunk(length, gdim, rows)
     return pl.pallas_call(
         _gru_fwd_kernel,
-        grid=(length,),
+        grid=(length // chunk,),
         in_specs=[
             pl.BlockSpec((2, gdim, hdim), lambda t: (0, 0, 0)),
             pl.BlockSpec((2, gdim, 1), lambda t: (0, 0, 0)),
-            pl.BlockSpec((1, 2, gdim, rows), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((chunk, 2, gdim, rows), lambda t: (t, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 2, hdim, rows), lambda t: (t, 0, 0, 0)),
+        out_specs=pl.BlockSpec((chunk, 2, hdim, rows), lambda t: (t, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((length, 2, hdim, rows), gates_x.dtype),
         scratch_shapes=[pltpu.VMEM((2, hdim, rows), jnp.float32)],
         interpret=interpret,
@@ -146,28 +158,23 @@ def _fwd_call(gates_x: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
 def _bwd_call(w_hh, b_hh, gates_x, ys, dys, interpret: bool):
     length, _, gdim, rows = gates_x.shape
     hdim = gdim // 3
-    # ys_prev[t] = ys[t-1]; index map clamps at 0, kernel masks t==0
+    chunk = _pick_chunk(length, gdim, rows)
+    nchunks = length // chunk
+    # h_{t-1} sequence: zeros at t=0 (one XLA pad+slice, no kernel masking)
+    ys_prev = jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
+    rev = lambda i: (nchunks - 1 - i, 0, 0, 0)
     dgx, dw, db = pl.pallas_call(
         _gru_bwd_kernel,
-        grid=(length,),
+        grid=(nchunks,),
         in_specs=[
             pl.BlockSpec((2, gdim, hdim), lambda i: (0, 0, 0)),
             pl.BlockSpec((2, gdim, 1), lambda i: (0, 0, 0)),
-            pl.BlockSpec(
-                (1, 2, gdim, rows), lambda i: (length - 1 - i, 0, 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, 2, hdim, rows),
-                lambda i: (jnp.maximum(length - 2 - i, 0), 0, 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, 2, hdim, rows), lambda i: (length - 1 - i, 0, 0, 0)
-            ),
+            pl.BlockSpec((chunk, 2, gdim, rows), rev),
+            pl.BlockSpec((chunk, 2, hdim, rows), rev),
+            pl.BlockSpec((chunk, 2, hdim, rows), rev),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, 2, gdim, rows), lambda i: (length - 1 - i, 0, 0, 0)
-            ),
+            pl.BlockSpec((chunk, 2, gdim, rows), rev),
             pl.BlockSpec((2, gdim, hdim), lambda i: (0, 0, 0)),
             pl.BlockSpec((2, gdim, 1), lambda i: (0, 0, 0)),
         ],
@@ -178,7 +185,7 @@ def _bwd_call(w_hh, b_hh, gates_x, ys, dys, interpret: bool):
         ],
         scratch_shapes=[pltpu.VMEM((2, hdim, rows), jnp.float32)],
         interpret=interpret,
-    )(w_hh, b_hh.reshape(2, gdim, 1), gates_x, ys, dys)
+    )(w_hh, b_hh.reshape(2, gdim, 1), gates_x, ys_prev, dys)
     return dgx, dw, db.reshape(2, gdim)
 
 

@@ -156,6 +156,22 @@ def _rnn_param_init(in_features: int, hidden: int):
     return torch_conv_init(hidden)
 
 
+def _use_pallas_gru() -> bool:
+    """Fused Pallas recurrence on TPU; lax.scan elsewhere (and under
+    TATT_PALLAS_GRU=0)."""
+    import os
+
+    flag = os.environ.get("TATT_PALLAS_GRU", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 class BiGRU(nn.Module):
     """Drop-in for ``nn.GRU(in, hidden, bidirectional=True)`` output[0]."""
 
@@ -169,6 +185,10 @@ class BiGRU(nn.Module):
         w_hh = self.param("w_hh", init, (2, 3 * self.hidden, self.hidden))
         b_ih = self.param("b_ih", init, (2, 3 * self.hidden))
         b_hh = self.param("b_hh", init, (2, 3 * self.hidden))
+        if _use_pallas_gru():
+            from tatt_tpu.kernels.pallas_gru import bigru_pallas
+
+            return bigru_pallas(x, w_ih, w_hh, b_ih, b_hh)
         return bigru_apply(x, w_ih, w_hh, b_ih, b_hh)
 
 
