@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _gru_fwd_kernel(w_ref, b_ref, gx_ref, ys_ref, h_ref):
     """One grid step = CHUNK timesteps.  w: [2, 3H, H]; b: [2, 3H, 1];
     gx block: [C, 2, 3H, R]; ys block: [C, 2, H, R]; h scratch: [2, H, R]."""
-    t = pl.program_id(0)
+    t = pl.program_id(1)  # time-chunk index (fastest grid dim)
     chunk = gx_ref.shape[0]
     hdim = h_ref.shape[1]
 
@@ -79,13 +79,17 @@ def _gru_bwd_kernel(
     ``ys_prev`` is the hidden state sequence shifted by one (zeros at t=0,
     built by the caller), so no masking is needed.  dw/db accumulate
     across the whole grid in f32 output blocks."""
-    i = pl.program_id(0)
+    rt = pl.program_id(0)
+    i = pl.program_id(1)  # reversed time-chunk index (fastest grid dim)
     chunk = gx_ref.shape[0]
     hdim = dh_ref.shape[1]
 
     @pl.when(i == 0)
     def _():
         dh_ref[...] = jnp.zeros_like(dh_ref)
+
+    @pl.when((i == 0) & (rt == 0))
+    def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
 
@@ -125,32 +129,45 @@ def _gru_bwd_kernel(
             dh_ref[d] = dh_prev
 
 
-def _pick_chunk(length: int, gdim: int, rows: int) -> int:
-    """Largest divisor of L whose gate block stays well under VMEM."""
-    budget = 3 * 1024 * 1024  # bytes for the gx block (x2-3 for pipelining)
-    best = 1
+def _pick_tiles(length: int, gdim: int, rows: int, backward: bool):
+    """(row_block, chunk): row tile <= 1024 lanes, then the largest time
+    chunk whose double-buffered streamed blocks fit comfortably in VMEM."""
+    row_block = rows
+    for cand in (1024, 512, 256, 128):
+        if rows > 1024 and rows % cand == 0:
+            row_block = cand
+            break
+    hdim = gdim // 3
+    # bytes streamed per chunk unit (x2 directions, f32):
+    per_c = 2 * (gdim + hdim) * row_block * 4  # fwd: gx in + ys out
+    if backward:
+        per_c = 2 * (2 * gdim + 3 * hdim) * row_block * 4  # + dgx, ys_prev, dys
+    budget = 5 * 1024 * 1024  # x2 double-buffering ~ 10MB, rest for scratch
+    chunk = 1
     for c in range(1, length + 1):
-        if length % c == 0 and c * 2 * gdim * rows * 4 <= budget:
-            best = c
-    return best
+        if length % c == 0 and c * per_c <= budget:
+            chunk = c
+    return row_block, chunk
 
 
 def _fwd_call(gates_x: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
               interpret: bool) -> jnp.ndarray:
     length, _, gdim, rows = gates_x.shape
     hdim = gdim // 3
-    chunk = _pick_chunk(length, gdim, rows)
+    row_block, chunk = _pick_tiles(length, gdim, rows, backward=False)
     return pl.pallas_call(
         _gru_fwd_kernel,
-        grid=(length // chunk,),
+        grid=(rows // row_block, length // chunk),
         in_specs=[
-            pl.BlockSpec((2, gdim, hdim), lambda t: (0, 0, 0)),
-            pl.BlockSpec((2, gdim, 1), lambda t: (0, 0, 0)),
-            pl.BlockSpec((chunk, 2, gdim, rows), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((2, gdim, hdim), lambda r, t: (0, 0, 0)),
+            pl.BlockSpec((2, gdim, 1), lambda r, t: (0, 0, 0)),
+            pl.BlockSpec((chunk, 2, gdim, row_block), lambda r, t: (t, 0, 0, r)),
         ],
-        out_specs=pl.BlockSpec((chunk, 2, hdim, rows), lambda t: (t, 0, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (chunk, 2, hdim, row_block), lambda r, t: (t, 0, 0, r)
+        ),
         out_shape=jax.ShapeDtypeStruct((length, 2, hdim, rows), gates_x.dtype),
-        scratch_shapes=[pltpu.VMEM((2, hdim, rows), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, hdim, row_block), jnp.float32)],
         interpret=interpret,
     )(w_hh, b_hh.reshape(2, gdim, 1), gates_x)
 
@@ -158,32 +175,32 @@ def _fwd_call(gates_x: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
 def _bwd_call(w_hh, b_hh, gates_x, ys, dys, interpret: bool):
     length, _, gdim, rows = gates_x.shape
     hdim = gdim // 3
-    chunk = _pick_chunk(length, gdim, rows)
+    row_block, chunk = _pick_tiles(length, gdim, rows, backward=True)
     nchunks = length // chunk
     # h_{t-1} sequence: zeros at t=0 (one XLA pad+slice, no kernel masking)
     ys_prev = jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
-    rev = lambda i: (nchunks - 1 - i, 0, 0, 0)
+    rev = lambda r, i: (nchunks - 1 - i, 0, 0, r)
     dgx, dw, db = pl.pallas_call(
         _gru_bwd_kernel,
-        grid=(nchunks,),
+        grid=(rows // row_block, nchunks),
         in_specs=[
-            pl.BlockSpec((2, gdim, hdim), lambda i: (0, 0, 0)),
-            pl.BlockSpec((2, gdim, 1), lambda i: (0, 0, 0)),
-            pl.BlockSpec((chunk, 2, gdim, rows), rev),
-            pl.BlockSpec((chunk, 2, hdim, rows), rev),
-            pl.BlockSpec((chunk, 2, hdim, rows), rev),
+            pl.BlockSpec((2, gdim, hdim), lambda r, i: (0, 0, 0)),
+            pl.BlockSpec((2, gdim, 1), lambda r, i: (0, 0, 0)),
+            pl.BlockSpec((chunk, 2, gdim, row_block), rev),
+            pl.BlockSpec((chunk, 2, hdim, row_block), rev),
+            pl.BlockSpec((chunk, 2, hdim, row_block), rev),
         ],
         out_specs=[
-            pl.BlockSpec((chunk, 2, gdim, rows), rev),
-            pl.BlockSpec((2, gdim, hdim), lambda i: (0, 0, 0)),
-            pl.BlockSpec((2, gdim, 1), lambda i: (0, 0, 0)),
+            pl.BlockSpec((chunk, 2, gdim, row_block), rev),
+            pl.BlockSpec((2, gdim, hdim), lambda r, i: (0, 0, 0)),
+            pl.BlockSpec((2, gdim, 1), lambda r, i: (0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((length, 2, gdim, rows), gates_x.dtype),
             jax.ShapeDtypeStruct((2, gdim, hdim), jnp.float32),
             jax.ShapeDtypeStruct((2, gdim, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((2, hdim, rows), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, hdim, row_block), jnp.float32)],
         interpret=interpret,
     )(w_hh, b_hh.reshape(2, gdim, 1), gates_x, ys_prev, dys)
     return dgx, dw, db.reshape(2, gdim)

@@ -185,7 +185,12 @@ class BiGRU(nn.Module):
         w_hh = self.param("w_hh", init, (2, 3 * self.hidden, self.hidden))
         b_ih = self.param("b_ih", init, (2, 3 * self.hidden))
         b_hh = self.param("b_hh", init, (2, 3 * self.hidden))
-        if _use_pallas_gru():
+        # The fused kernel lays rows on lanes and gates on sublanes; it
+        # only pays off for many-row, small-hidden recurrences (the
+        # GruBlocks).  Few-row / wide-hidden cases (the TP query GRU:
+        # rows=1, H=512) pad catastrophically — keep those on the scan.
+        rows = x.shape[0]
+        if _use_pallas_gru() and rows >= 128 and self.hidden <= 128:
             from tatt_tpu.kernels.pallas_gru import bigru_pallas
 
             return bigru_pallas(x, w_ih, w_hh, b_ih, b_hh)

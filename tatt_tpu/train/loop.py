@@ -106,6 +106,7 @@ class Trainer:
             tpg_share=cfg.args.tpg_share or cfg.args.stu_iter == 1,
             use_distill=cfg.args.use_distill,
             use_label=cfg.args.use_label,
+            for_cascading=cfg.args.for_cascading,
             gradient=cfg.args.gradient,
             ssim_loss=cfg.args.ssim_loss,
             tssim_loss=cfg.args.tssim_loss,
@@ -349,9 +350,29 @@ class Trainer:
             hr = arrays["images_hr"]
             p = float(psnr_fn(sr, hr))
             s = float(ssim_fn(jnp.asarray(sr), jnp.asarray(hr)))
+            # LR baseline metrics on the bicubic upscale, as the reference
+            # does (super_resolution.py:1409,1417-1418)
+            from tatt_tpu.kernels.resize import resize_bicubic
+
+            lr_up = np.asarray(
+                resize_bicubic(
+                    jnp.asarray(arrays["images_lr"]), hr.shape[-2], hr.shape[-1]
+                )
+            )
+            p_lr = float(psnr_fn(lr_up, hr))
+            s_lr = float(ssim_fn(jnp.asarray(lr_up), jnp.asarray(hr)))
             preds_sr = self._judge_fn(jnp.asarray(sr))
             preds_lr = self._judge_fn(jnp.asarray(arrays["images_lr"]))
             preds_hr = self._judge_fn(jnp.asarray(hr))
-            acc.add_batch(p, s, preds_sr, preds_lr, preds_hr, batch.label_strs)
+            acc.add_batch(
+                p,
+                s,
+                preds_sr,
+                preds_lr,
+                preds_hr,
+                batch.label_strs,
+                psnr_lr=p_lr,
+                ssim_lr=s_lr,
+            )
         acc.infer_time = time.time() - t0
         return acc.summary()

@@ -36,6 +36,7 @@ class StepConfig(NamedTuple):
     tpg_share: bool = False
     use_distill: bool = True
     use_label: bool = False
+    for_cascading: bool = False
     gradient: bool = True
     ssim_loss: bool = False
     tssim_loss: bool = True
@@ -107,16 +108,34 @@ def make_train_step(
             loss_img = 0.0
             loss_distill = 0.0
             metrics = {}
+            cascade_images = images_lr
             for i in range(cfg.stu_iter):
                 tpg_pick = 0 if cfg.tpg_share else i
                 pick = 0 if cfg.sr_share else i
+
+                if cfg.for_cascading and i > 0:
+                    # feed the previous SR back as the next LR input
+                    # (super_resolution.py:808-824): bicubic to LR size,
+                    # clamp, average with the original LR
+                    from tatt_tpu.kernels.resize import resize_bicubic
+
+                    prev = jax.lax.stop_gradient(cascade_images)
+                    prev = resize_bicubic(
+                        prev, images_lr.shape[2], images_lr.shape[3]
+                    )
+                    prev = jnp.clip(prev, 0.0, 1.0)
+                    cascade_images = (prev + images_lr) / 2.0
+                    stage_luma = parse_crnn_input(cascade_images[:, :3])
+                else:
+                    cascade_images = images_lr
+                    stage_luma = lr_luma
 
                 stu_vars = {
                     "params": stu_params[tpg_pick],
                     "batch_stats": new_stu_stats[tpg_pick],
                 }
                 stu_logits, stu_mut = student_apply(
-                    stu_vars, lr_luma, True, mutable=["batch_stats"]
+                    stu_vars, stage_luma, True, mutable=["batch_stats"]
                 )
                 new_stu_stats[tpg_pick] = stu_mut["batch_stats"]
                 label_vecs = jax.nn.softmax(stu_logits, axis=-1)  # [T,B,C]
@@ -130,13 +149,14 @@ def make_train_step(
                 }
                 (sr, aux), sr_mut = sr_apply(
                     sr_vars,
-                    images_lr,
+                    cascade_images if cfg.for_cascading else images_lr,
                     prior,
                     True,
                     rngs={"dropout": jax.random.fold_in(drop_rng, i)},
                     mutable=["batch_stats"],
                 )
                 new_sr_stats[pick] = sr_mut["batch_stats"]
+                cascade_images = sr
 
                 if cfg.use_label:
                     # text-focus CTC on the HR teacher logits against the

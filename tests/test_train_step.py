@@ -78,3 +78,36 @@ def test_eval_step_runs(batch):
     sr, aux = eval_step(state, batch)
     assert sr.shape == (8, 4, 32, 128)
     assert np.isfinite(np.asarray(sr)).all()
+
+
+def test_train_step_cascade_two_iters(batch):
+    """stu_iter=2 with cascading exercises the multi-model path."""
+    sr_apply, crnn_apply, state0, teacher_vars = _tiny_setup()
+    # two SR models + two students (no sharing)
+    import jax as _jax
+    from tatt_tpu.models.recognizers.crnn import CRNN
+    from tatt_tpu.models.tsrn import TATT
+    from tatt_tpu.train.state import TrainState, make_optimizer
+
+    sr_model = TATT(srb_nums=1, hidden_units=4, out_text_channels=8)
+    crnn = CRNN(**TINY_CRNN)
+    x = jnp.zeros((2, 4, 16, 64))
+    t = jnp.zeros((2, 37, 1, 26))
+    luma = jnp.zeros((2, 1, 32, 100))
+    keys = _jax.random.split(_jax.random.PRNGKey(3), 4)
+    sr_vars = [sr_model.init(keys[i], x, t, train=True) for i in range(2)]
+    stu_vars = [crnn.init(keys[2 + i], luma) for i in range(2)]
+    tx = make_optimizer(1e-3)
+    state = TrainState.create(sr_vars, stu_vars, tx)
+
+    cfg = StepConfig(
+        stu_iter=2,
+        sr_share=False,
+        tpg_share=False,
+        for_cascading=True,
+        tssim_loss=False,
+        rotate_train=0.0,
+    )
+    step = jax.jit(make_train_step(sr_apply, crnn_apply, crnn_apply, cfg))
+    new_state, metrics = step(state, teacher_vars, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_total"]))
