@@ -59,7 +59,12 @@ def main() -> None:
 
     tx = make_optimizer(1e-3, beta1=0.5)
     state = TrainState.create([sr_vars], [stu_vars], tx)
-    cfg = StepConfig(tssim_loss=True, rotate_train=5.0, use_distill=True)
+    cfg = StepConfig(
+        tssim_loss=True,
+        rotate_train=5.0,
+        use_distill=True,
+        compute_dtype="bfloat16",
+    )
     step = jax.jit(
         make_train_step(sr_apply, crnn_apply, crnn_apply, cfg), donate_argnums=0
     )

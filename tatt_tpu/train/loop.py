@@ -112,6 +112,7 @@ class Trainer:
             tssim_loss=cfg.args.tssim_loss,
             rotate_train=cfg.args.rotate_train,
             training_stablize=cfg.args.training_stablize,
+            compute_dtype=cfg.args.dtype,
         )
 
         def sr_apply(variables, lr, prior, train, rngs=None, mutable=False):

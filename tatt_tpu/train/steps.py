@@ -43,6 +43,7 @@ class StepConfig(NamedTuple):
     rotate_train: float = 5.0
     training_stablize: bool = False
     grad_clip: float = 0.25
+    compute_dtype: str = "float32"  # "bfloat16" halves MXU/HBM pressure
 
 
 def loss_stablize(loss_set: jnp.ndarray, keep: float = 0.7) -> jnp.ndarray:
@@ -90,15 +91,19 @@ def make_train_step(
             arc = rand_offs = None
             images_lr_ret = images_lr
 
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
         # Teacher prior from HR (frozen, eval-mode BN) — detached
         # (super_resolution.py:772-774)
-        hr_luma = parse_crnn_input(images_hr[:, :3])
-        teacher_logits = teacher_apply(teacher_vars, hr_luma, False)
+        hr_luma = parse_crnn_input(images_hr[:, :3]).astype(cdt)
+        teacher_logits = teacher_apply(teacher_vars, hr_luma, False).astype(
+            jnp.float32
+        )
         label_vecs_hr = jax.lax.stop_gradient(
             jax.nn.softmax(teacher_logits, axis=-1)
         )
 
-        lr_luma = parse_crnn_input(images_lr[:, :3])
+        lr_luma = parse_crnn_input(images_lr[:, :3]).astype(cdt)
 
         def loss_fn(params):
             sr_params, stu_params = params["sr"], params["student"]
@@ -137,11 +142,12 @@ def make_train_step(
                 stu_logits, stu_mut = student_apply(
                     stu_vars, stage_luma, True, mutable=["batch_stats"]
                 )
+                stu_logits = stu_logits.astype(jnp.float32)
                 new_stu_stats[tpg_pick] = stu_mut["batch_stats"]
                 label_vecs = jax.nn.softmax(stu_logits, axis=-1)  # [T,B,C]
                 prior = jax.lax.stop_gradient(
                     label_vecs.transpose(1, 2, 0)[:, :, None, :]  # [B,C,1,T]
-                )
+                ).astype(cdt)
 
                 sr_vars = {
                     "params": sr_params[pick],
@@ -149,13 +155,14 @@ def make_train_step(
                 }
                 (sr, aux), sr_mut = sr_apply(
                     sr_vars,
-                    cascade_images if cfg.for_cascading else images_lr,
+                    (cascade_images if cfg.for_cascading else images_lr).astype(cdt),
                     prior,
                     True,
                     rngs={"dropout": jax.random.fold_in(drop_rng, i)},
                     mutable=["batch_stats"],
                 )
                 new_sr_stats[pick] = sr_mut["batch_stats"]
+                sr = sr.astype(jnp.float32)
                 cascade_images = sr
 
                 if cfg.use_label:
@@ -199,13 +206,14 @@ def make_train_step(
                             "params": sr_params[pick],
                             "batch_stats": new_sr_stats[pick],
                         },
-                        images_lr_ret,
+                        images_lr_ret.astype(cdt),
                         prior,
                         True,
                         rngs={"dropout": jax.random.fold_in(drop_rng, 100 + i)},
                         mutable=["batch_stats"],
                     )
                     new_sr_stats[pick] = sr_mut2["batch_stats"]
+                    sr_ret = sr_ret.astype(jnp.float32)
                     if cfg.rotate_train:
                         sr_ret = rotate_batch(sr_ret, arc, rand_offs)
                     ts = (1.0 - tri_ssim(sr_ret, sr, images_hr)) * 10.0

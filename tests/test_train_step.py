@@ -111,3 +111,13 @@ def test_train_step_cascade_two_iters(batch):
     step = jax.jit(make_train_step(sr_apply, crnn_apply, crnn_apply, cfg))
     new_state, metrics = step(state, teacher_vars, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss_total"]))
+
+
+def test_train_step_bfloat16_compute(batch):
+    sr_apply, crnn_apply, state, teacher_vars = _tiny_setup()
+    cfg = StepConfig(
+        tssim_loss=True, rotate_train=5.0, compute_dtype="bfloat16"
+    )
+    step = jax.jit(make_train_step(sr_apply, crnn_apply, crnn_apply, cfg))
+    state1, metrics = step(state, teacher_vars, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss_total"]))
