@@ -71,7 +71,7 @@ class Batch:
     weighted_tics: np.ndarray  # [B]
 
     def device_arrays(self) -> dict[str, np.ndarray]:
-        return {
+        out = {
             "images_hr": self.images_hr,
             "images_lr": self.images_lr,
             "label_vecs": self.label_vecs,
@@ -79,6 +79,10 @@ class Batch:
             "ctc_lengths": self.ctc_lengths,
             "weighted_tics": self.weighted_tics.astype(np.float32),
         }
+        if self.images_hr_y is not None:
+            out["images_hr_y"] = self.images_hr_y
+            out["images_lr_y"] = self.images_lr_y
+        return out
 
 
 def collate(

@@ -107,6 +107,7 @@ class Trainer:
             use_distill=cfg.args.use_distill,
             use_label=cfg.args.use_label,
             for_cascading=cfg.args.for_cascading,
+            y_domain=cfg.args.y_domain,
             gradient=cfg.args.gradient,
             ssim_loss=cfg.args.ssim_loss,
             tssim_loss=cfg.args.tssim_loss,
@@ -198,6 +199,7 @@ class Trainer:
                 height=cfg.TRAIN.height,
                 down_sample_scale=cfg.TRAIN.down_sample_scale,
                 mask=cfg.args.mask,
+                y_domain=cfg.args.y_domain,
             ),
         )
         self.val_datasets = val_datasets or {}
@@ -336,6 +338,7 @@ class Trainer:
                 height=cfg.TRAIN.height,
                 down_sample_scale=cfg.TRAIN.down_sample_scale,
                 mask=cfg.args.mask,
+                y_domain=cfg.args.y_domain,
             ),
         )
         acc = EvalAccumulator()

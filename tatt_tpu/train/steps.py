@@ -37,6 +37,7 @@ class StepConfig(NamedTuple):
     use_distill: bool = True
     use_label: bool = False
     for_cascading: bool = False
+    y_domain: bool = False
     gradient: bool = True
     ssim_loss: bool = False
     tssim_loss: bool = True
@@ -71,8 +72,20 @@ def make_train_step(
     """
 
     def step_fn(state: TrainState, teacher_vars, batch: dict, rng: jax.Array):
-        images_hr = batch["images_hr"]
-        images_lr = batch["images_lr"]
+        if cfg.y_domain:
+            # YUV training: luma channels for the SR loss, raw RGB for the
+            # recognizer priors (super_resolution.py:614-623,772,794)
+            hr_raw, lr_raw = batch["images_hr"], batch["images_lr"]
+            images_hr = jnp.concatenate(
+                [batch["images_hr_y"][:, :3], hr_raw[:, 3:]], axis=1
+            )
+            images_lr = jnp.concatenate(
+                [batch["images_lr_y"][:, :3], lr_raw[:, 3:]], axis=1
+            )
+        else:
+            hr_raw = lr_raw = None
+            images_hr = batch["images_hr"]
+            images_lr = batch["images_lr"]
 
         rot_rng, drop_rng = jax.random.split(rng)
 
@@ -94,8 +107,10 @@ def make_train_step(
         cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
         # Teacher prior from HR (frozen, eval-mode BN) — detached
-        # (super_resolution.py:772-774)
-        hr_luma = parse_crnn_input(images_hr[:, :3]).astype(cdt)
+        # (super_resolution.py:772-774); raw RGB in y_domain mode
+        hr_luma = parse_crnn_input(
+            (hr_raw if cfg.y_domain else images_hr)[:, :3]
+        ).astype(cdt)
         teacher_logits = teacher_apply(teacher_vars, hr_luma, False).astype(
             jnp.float32
         )
@@ -103,7 +118,9 @@ def make_train_step(
             jax.nn.softmax(teacher_logits, axis=-1)
         )
 
-        lr_luma = parse_crnn_input(images_lr[:, :3]).astype(cdt)
+        lr_luma = parse_crnn_input(
+            (lr_raw if cfg.y_domain else images_lr)[:, :3]
+        ).astype(cdt)
 
         def loss_fn(params):
             sr_params, stu_params = params["sr"], params["student"]

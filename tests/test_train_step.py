@@ -121,3 +121,17 @@ def test_train_step_bfloat16_compute(batch):
     step = jax.jit(make_train_step(sr_apply, crnn_apply, crnn_apply, cfg))
     state1, metrics = step(state, teacher_vars, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss_total"]))
+
+
+def test_train_step_y_domain():
+    from tatt_tpu.data.collate import collate
+    from tatt_tpu.data.synthetic import SyntheticTextDataset
+
+    ds = SyntheticTextDataset(n=4)
+    ybatch = collate([ds[i] for i in range(4)], y_domain=True).device_arrays()
+    assert "images_hr_y" in ybatch
+    sr_apply, crnn_apply, state, teacher_vars = _tiny_setup()
+    cfg = StepConfig(tssim_loss=False, rotate_train=0.0, y_domain=True)
+    step = jax.jit(make_train_step(sr_apply, crnn_apply, crnn_apply, cfg))
+    _, metrics = step(state, teacher_vars, ybatch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_total"]))
