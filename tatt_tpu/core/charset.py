@@ -109,6 +109,7 @@ def encode_label_vecs(
     alphabet: str,
     max_len: int = 26,
     eval_perturb: bool = False,
+    spread: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Build the collate label tensors.
 
@@ -129,7 +130,7 @@ def encode_label_vecs(
         word = word.lower()
         if eval_perturb and len(word) > 4:
             word = word[:2] + "e" + word[3:]
-        word = spread_label(word, max_len)
+        word = spread_label(word, max_len) if spread else word[:max_len]
         ids = [a2d[ch] for ch in word if ch in a2d]
         if len(ids) == 0:
             ctc_ids.append(0)

@@ -95,12 +95,22 @@ def collate(
     max_len: int = 26,
     eval_perturb: bool = False,
     y_domain: bool = False,
+    syn: bool = False,
 ) -> Batch:
-    """``samples``: iterable of (img_HR, img_lr, label)."""
+    """``samples``: iterable of (img_HR, img_lr, label).
+
+    ``syn=True`` reproduces ``alignCollate_syn.__call__``
+    (``dataset.py:1696-1817``): the LR crop is halved again before the
+    resize, labels are NOT '-'-spread, and the ``word[2]='e'`` perturbation
+    is active."""
     hrs, lrs, labels = [], [], []
     hrs_y, lrs_y = [], []
+    if syn:
+        eval_perturb = True
     for hr, lr, label in samples:
         hrs.append(resize_normalize(hr, (width, height), mask))
+        if syn:
+            lr = lr.resize((lr.width // 2, lr.height // 2), Image.BICUBIC)
         lrs.append(
             resize_normalize(
                 lr, (width // down_sample_scale, height // down_sample_scale), mask
@@ -120,7 +130,7 @@ def collate(
         labels.append(label)
 
     label_vecs, ctc_ids, tics = encode_label_vecs(
-        labels, alphabet, max_len, eval_perturb
+        labels, alphabet, max_len, eval_perturb, spread=not syn
     )
     # per-sample CTC lengths from label_vecs occupancy (train loop derives
     # text_len the same way, super_resolution.py:829-832)

@@ -148,7 +148,11 @@ class Trainer:
             criterion = build_criterion(cfg.args.arch, cfg)
             self._train_step_plain = jax.jit(
                 make_plain_train_step(
-                    sr_apply_plain, criterion, self.step_cfg, self.channels
+                    sr_apply_plain,
+                    criterion,
+                    self.step_cfg,
+                    self.channels,
+                    ssim_variant="distorted" if cfg.args.arch == "tsrn" else "ssim",
                 ),
                 donate_argnums=0,
             )
@@ -200,6 +204,7 @@ class Trainer:
                 down_sample_scale=cfg.TRAIN.down_sample_scale,
                 mask=cfg.args.mask,
                 y_domain=cfg.args.y_domain,
+                syn=cfg.args.syn,
             ),
         )
         self.val_datasets = val_datasets or {}

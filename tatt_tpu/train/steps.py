@@ -273,6 +273,7 @@ def make_plain_train_step(
     criterion: Callable,
     cfg: StepConfig,
     channels: int = 4,
+    ssim_variant: str = "ssim",
 ):
     """Train step for archs without a text prior (reference branches at
     ``super_resolution.py:664-688`` for tsrn and ``:1037-1063`` for the
@@ -315,7 +316,14 @@ def make_plain_train_step(
             loss = criterion(sr, images_hr).mean() * 100.0
             metrics["loss_sr"] = loss
             if cfg.ssim_loss:
-                s = (1.0 - ssim_fn(sr, images_hr)) * 10.0
+                # the tsrn branch uses Distorted_SSIM for --ssim_loss
+                # (super_resolution.py:677); baselines use plain SSIM
+                if ssim_variant == "distorted":
+                    from tatt_tpu.losses.ssim import distorted_ssim
+
+                    s = (1.0 - distorted_ssim(sr, images_hr)) * 10.0
+                else:
+                    s = (1.0 - ssim_fn(sr, images_hr)) * 10.0
                 loss = loss + s
                 metrics["loss_ssim"] = s
             if cfg.tssim_loss:
