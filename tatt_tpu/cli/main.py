@@ -78,6 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rotate_test", type=float, default=0.0)
     p.add_argument("--syn", action="store_true")
     p.add_argument("--mixed", action="store_true")
+    p.add_argument("--ic15sr", action="store_true")
+    p.add_argument("--badset", action="store_true")
+    p.add_argument("--tpg", default="CRNN", choices=["CRNN", "OPT"])
+    p.add_argument("--text_focus", action="store_true")
+    p.add_argument("--prob_insert", type=float, default=1.0)
+    p.add_argument("--test_distorted_fusing", type=int, default=0)
+    p.add_argument("--mse_fuse", action="store_true")
+    p.add_argument("--BiSR", action="store_true")
     p.add_argument("--test", action="store_true")
     p.add_argument("--go_test", action="store_true")
     p.add_argument("--demo", action="store_true")

@@ -107,6 +107,14 @@ class Flags:
     results_rotate_angle: float = 5.0
     syn: bool = False
     mixed: bool = False
+    ic15sr: bool = False
+    badset: bool = False
+    tpg: str = "CRNN"          # CRNN | OPT (NAVER TPG for Chinese)
+    text_focus: bool = False
+    prob_insert: float = 1.0
+    test_distorted_fusing: int = 0
+    mse_fuse: bool = False
+    BiSR: bool = False
     test: bool = False
     go_test: bool = False
     demo: bool = False

@@ -108,6 +108,8 @@ class Trainer:
             use_label=cfg.args.use_label,
             for_cascading=cfg.args.for_cascading,
             y_domain=cfg.args.y_domain,
+            learning_STN=cfg.args.learning_STN,
+            color_loss=cfg.args.color_loss,
             gradient=cfg.args.gradient,
             ssim_loss=cfg.args.ssim_loss,
             tssim_loss=cfg.args.tssim_loss,

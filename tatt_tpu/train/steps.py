@@ -38,6 +38,8 @@ class StepConfig(NamedTuple):
     use_label: bool = False
     for_cascading: bool = False
     y_domain: bool = False
+    learning_STN: bool = False
+    color_loss: bool = False
     gradient: bool = True
     ssim_loss: bool = False
     tssim_loss: bool = True
@@ -209,6 +211,13 @@ def make_train_step(
                 if cfg.training_stablize:
                     imq = loss_stablize(imq)
                 each = imq.mean() * 100.0
+                if cfg.learning_STN:
+                    # rectification consistency (super_resolution.py:896-901)
+                    each = each + image_loss(
+                        aux["in_feat"].astype(jnp.float32),
+                        aux["trans_feat"].astype(jnp.float32),
+                        gradient=cfg.gradient,
+                    ).mean()
                 loss_img = loss_img + each * (1.0 + i * 0.5)
                 metrics["loss_sr"] = each
 
@@ -315,6 +324,16 @@ def make_plain_train_step(
             metrics = {}
             loss = criterion(sr, images_hr).mean() * 100.0
             metrics["loss_sr"] = loss
+            if cfg.color_loss:
+                # mean-color consistency x30 (super_resolution.py:669-672)
+                c = (
+                    jnp.abs(
+                        images_lr.mean(axis=(2, 3)) - sr.mean(axis=(2, 3))
+                    ).mean()
+                    * 30.0
+                )
+                loss = loss + c
+                metrics["loss_color"] = c
             if cfg.ssim_loss:
                 # the tsrn branch uses Distorted_SSIM for --ssim_loss
                 # (super_resolution.py:677); baselines use plain SSIM
