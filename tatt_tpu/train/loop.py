@@ -54,11 +54,26 @@ class Trainer:
         self.n_devices = len(self.mesh.devices.ravel())
 
         self.sr_model = build_generator(cfg.args.arch, cfg)
-        self.crnn = (
-            CRNN(nh=16, nm=(8, 8, 16, 16, 32, 32, 32))
-            if cfg.args.tiny_tpg
-            else CRNN()
-        )
+        if cfg.args.tpg == "OPT":
+            # NAVER TPG pipeline (Chinese path; main.py:127-144)
+            from tatt_tpu.core.charset import voc_table
+            from tatt_tpu.models.recognizers.tpg import TPGModel, parse_opt_input
+
+            if cfg.args.CHNSR:
+                num_class = len(voc_table("chinese", "al_chinese.txt"))
+            else:
+                num_class = cfg.MODEL.text_emb
+            self.crnn = TPGModel(num_class=num_class)
+            self._parse_fn = parse_opt_input
+            self._tpg_width = 512
+        else:
+            self.crnn = (
+                CRNN(nh=16, nm=(8, 8, 16, 16, 32, 32, 32))
+                if cfg.args.tiny_tpg
+                else CRNN()
+            )
+            self._parse_fn = parse_crnn_input
+            self._tpg_width = 100
 
         self.uses_prior = cfg.args.arch in ABLATION_SET
         # reference feeds 3 channels to srcnn/rdn/vdsr regardless of --mask
@@ -78,7 +93,7 @@ class Trainer:
             )
         )
         t = jnp.zeros((2, cfg.MODEL.text_emb, 1, 26))
-        luma = jnp.zeros((2, 1, 32, 100))
+        luma = jnp.zeros((2, 1, 32, self._tpg_width))
         if self.uses_prior:
             sr_vars = self.sr_model.init(k1, x, t, train=True)
         else:
@@ -142,10 +157,18 @@ class Trainer:
 
         if self.uses_prior:
             self._train_step = jax.jit(
-                make_train_step(sr_apply, crnn_apply, crnn_apply, self.step_cfg),
+                make_train_step(
+                    sr_apply,
+                    crnn_apply,
+                    crnn_apply,
+                    self.step_cfg,
+                    parse_fn=self._parse_fn,
+                ),
                 donate_argnums=0,
             )
-            self._eval_step = jax.jit(make_eval_step(sr_apply, crnn_apply))
+            self._eval_step = jax.jit(
+                make_eval_step(sr_apply, crnn_apply, parse_fn=self._parse_fn)
+            )
         else:
             criterion = build_criterion(cfg.args.arch, cfg)
             self._train_step_plain = jax.jit(
@@ -183,7 +206,7 @@ class Trainer:
             # fall back to the teacher CRNN (whatever its size)
             judge_fwd = jax.jit(
                 lambda v, images: crnn_apply(
-                    v, parse_crnn_input(images[:, :3]), False
+                    v, self._parse_fn(images[:, :3]), False
                 )
             )
 

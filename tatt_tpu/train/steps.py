@@ -65,13 +65,15 @@ def make_train_step(
     student_apply: Callable,
     teacher_apply: Callable,
     cfg: StepConfig,
+    parse_fn: Callable = parse_crnn_input,
 ):
     """Builds the jitted train step.
 
     ``sr_apply(variables, lr_images, prior, train, rngs, mutable)`` — the
     generator; ``student_apply/teacher_apply(variables, luma, train, ...)``
-    — CRNN forwards returning [T, B, C] logits.
-    """
+    — recognizer forwards returning [T, B, C] logits; ``parse_fn`` is the
+    recognizer input adapter (``parse_crnn_data`` or ``parse_OPT_data``
+    for ``--tpg OPT``)."""
 
     def step_fn(state: TrainState, teacher_vars, batch: dict, rng: jax.Array):
         if cfg.y_domain:
@@ -110,7 +112,7 @@ def make_train_step(
 
         # Teacher prior from HR (frozen, eval-mode BN) — detached
         # (super_resolution.py:772-774); raw RGB in y_domain mode
-        hr_luma = parse_crnn_input(
+        hr_luma = parse_fn(
             (hr_raw if cfg.y_domain else images_hr)[:, :3]
         ).astype(cdt)
         teacher_logits = teacher_apply(teacher_vars, hr_luma, False).astype(
@@ -120,7 +122,7 @@ def make_train_step(
             jax.nn.softmax(teacher_logits, axis=-1)
         )
 
-        lr_luma = parse_crnn_input(
+        lr_luma = parse_fn(
             (lr_raw if cfg.y_domain else images_lr)[:, :3]
         ).astype(cdt)
 
@@ -149,7 +151,7 @@ def make_train_step(
                     )
                     prev = jnp.clip(prev, 0.0, 1.0)
                     cascade_images = (prev + images_lr) / 2.0
-                    stage_luma = parse_crnn_input(cascade_images[:, :3])
+                    stage_luma = parse_fn(cascade_images[:, :3])
                 else:
                     cascade_images = images_lr
                     stage_luma = lr_luma
@@ -383,14 +385,18 @@ def make_plain_train_step(
     return step_fn
 
 
-def make_eval_step(sr_apply: Callable, student_apply: Callable):
+def make_eval_step(
+    sr_apply: Callable,
+    student_apply: Callable,
+    parse_fn: Callable = parse_crnn_input,
+):
     """Eval: student prior -> SR forward (eval mode), mirroring
     ``model_inference`` (``super_resolution.py:240-449``).  Returns the SR
     batch plus the student prior logits (the judge runs separately)."""
 
     def eval_fn(state: TrainState, batch: dict):
         images_lr = batch["images_lr"]
-        lr_luma = parse_crnn_input(images_lr[:, :3])
+        lr_luma = parse_fn(images_lr[:, :3])
         stu_vars = {
             "params": state.student_params[0],
             "batch_stats": state.student_batch_stats[0],
