@@ -216,5 +216,10 @@ class BiLSTM(nn.Module):
             )
             b_ih = self.param(f"b_ih{suffix}", init, (2, 4 * self.hidden))
             b_hh = self.param(f"b_hh{suffix}", init, (2, 4 * self.hidden))
-            x = bilstm_apply(x, w_ih, w_hh, b_ih, b_hh)
+            if _use_pallas_gru() and x.shape[0] >= 64 and self.hidden <= 256:
+                from tatt_tpu.kernels.pallas_lstm import bilstm_pallas
+
+                x = bilstm_pallas(x, w_ih, w_hh, b_ih, b_hh)
+            else:
+                x = bilstm_apply(x, w_ih, w_hh, b_ih, b_hh)
         return x

@@ -53,3 +53,40 @@ def test_pallas_gru_grad_matches_scan():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), atol=2e-4, rtol=1e-3, err_msg=name
         )
+
+
+def test_pallas_lstm_forward_and_grad():
+    from tatt_tpu.kernels.pallas_lstm import bilstm_pallas
+    from tatt_tpu.kernels.rnn import bilstm_apply
+
+    rows, length, in_f, hidden = 4, 6, 8, 8
+    x = RNG.standard_normal((rows, length, in_f)).astype(np.float32)
+    w_ih = RNG.standard_normal((2, 4 * hidden, in_f)).astype(np.float32) * 0.2
+    w_hh = RNG.standard_normal((2, 4 * hidden, hidden)).astype(np.float32) * 0.2
+    b_ih = RNG.standard_normal((2, 4 * hidden)).astype(np.float32) * 0.1
+    b_hh = RNG.standard_normal((2, 4 * hidden)).astype(np.float32) * 0.1
+
+    want = np.asarray(bilstm_apply(jnp.asarray(x), w_ih, w_hh, b_ih, b_hh))
+    got = np.asarray(
+        bilstm_pallas(jnp.asarray(x), w_ih, w_hh, b_ih, b_hh, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+    def loss_scan(x_, w_ih_, w_hh_, b_hh_):
+        y = bilstm_apply(x_, w_ih_, w_hh_, b_ih, b_hh_)
+        return (y * jnp.cos(jnp.arange(y.size).reshape(y.shape))).sum()
+
+    def loss_pallas(x_, w_ih_, w_hh_, b_hh_):
+        y = bilstm_pallas(x_, w_ih_, w_hh_, b_ih, b_hh_, interpret=True)
+        return (y * jnp.cos(jnp.arange(y.size).reshape(y.shape))).sum()
+
+    want_g = jax.grad(loss_scan, argnums=(0, 1, 2, 3))(
+        jnp.asarray(x), jnp.asarray(w_ih), jnp.asarray(w_hh), jnp.asarray(b_hh)
+    )
+    got_g = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(
+        jnp.asarray(x), jnp.asarray(w_ih), jnp.asarray(w_hh), jnp.asarray(b_hh)
+    )
+    for g, w, name in zip(got_g, want_g, ("dx", "dw_ih", "dw_hh", "db_hh")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=2e-4, rtol=1e-3, err_msg=name
+        )
