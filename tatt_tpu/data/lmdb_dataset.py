@@ -53,6 +53,62 @@ class LmdbTextDataset:
         return img_hr, img_lr, label
 
 
+class LmdbRecognitionDataset:
+    """Plain recognition LMDB (``lmdbDataset``, ``dataset.py:127-166``):
+    keys ``label-%09d`` + ``image-%09d`` (or ``image_hr-%09d``); returns
+    (img, label).  Used for recognition-only corpora (IC15/SVT/etc. share
+    this layout)."""
+
+    def __init__(self, root: str, voc_type: str = "all", max_len: int = 100):
+        self.env = LmdbEnv(root)
+        n = self.env.get(b"num-samples")
+        if n is None:
+            raise IOError(f"{root}: missing num-samples key")
+        self.n_samples = int(n)
+        self.voc_type = voc_type
+        self.max_len = max_len
+
+    def __len__(self) -> int:
+        return self.n_samples
+
+    def __getitem__(self, index: int):
+        idx = index + 1
+        label_buf = self.env.get(b"label-%09d" % idx)
+        label = label_buf.decode("utf-8", "ignore") if label_buf else " "
+        buf = self.env.get(b"image_hr-%09d" % idx) or self.env.get(
+            b"image-%09d" % idx
+        )
+        try:
+            img = buf2pil(buf)
+        except (TypeError, OSError):
+            return self[(index + 1) % self.n_samples]
+        return img, label
+
+
+class MixDataset:
+    """Round-robin mix over paired datasets (``lmdbDataset_mix``,
+    ``dataset.py:1488-1596`` — used by ``--mixed``: alternates real LR and
+    synthetic-LR samples)."""
+
+    def __init__(self, real_dataset, synth_prob: float = 0.5, seed: int = 0):
+        import random as _random
+
+        self.real = real_dataset
+        self.synth_prob = synth_prob
+        self._rng = _random.Random(seed)
+
+    def __len__(self) -> int:
+        return len(self.real)
+
+    def __getitem__(self, index: int):
+        from tatt_tpu.data.degradation import manmade_degradation
+
+        hr, lr, label = self.real[index]
+        if self._rng.random() < self.synth_prob:
+            lr = manmade_degradation(hr, self._rng).resize(lr.size)
+        return hr, lr, label
+
+
 class ConcatDataset:
     """Multi-LMDB concat (``dataset/dataset.py:2237-2276``)."""
 

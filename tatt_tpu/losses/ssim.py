@@ -120,6 +120,34 @@ def distorted_ssim(
     return total / 3.0
 
 
+def ssim_weighted(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    weighted_mask: jnp.ndarray,
+    window_size: int = 11,
+    size_average: bool = True,
+) -> jnp.ndarray:
+    """SSIM on mask-weighted images (``utils/ssim_psnr.py:49-73,259-284``)."""
+    return ssim(
+        img1[:, :3] * weighted_mask,
+        img2[:, :3] * weighted_mask,
+        window_size,
+        size_average,
+        rgb_only=False,
+    )
+
+
+def weighted_psnr(
+    img1: jnp.ndarray, img2: jnp.ndarray, weighted_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """``weighted_calculate_psnr`` (``utils/ssim_psnr.py:18-25``)."""
+    mse = (
+        (img1[:, :3] * weighted_mask * 255.0 - img2[:, :3] * weighted_mask * 255.0)
+        ** 2
+    ).mean()
+    return 20.0 * jnp.log10(255.0 / jnp.sqrt(mse))
+
+
 def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
     """PSNR on RGB in [0,1] scaled x255 (``utils/ssim_psnr.py:9-15``)."""
     mse = ((img1[:, :3] * 255.0 - img2[:, :3] * 255.0) ** 2).mean()

@@ -39,6 +39,37 @@ def triptych(
     canvas.save(out_path)
 
 
+def attention_grid(
+    pr_weights: np.ndarray,
+    lr_image: np.ndarray,
+    out_path: str,
+    feat_hw: tuple[int, int] = (16, 64),
+    grid: tuple[int, int] = (8, 4),
+) -> None:
+    """TP-Interpreter attention visualization: one tile per text slot,
+    mirroring the reference's debug dump (``super_resolution.py:925-1020``).
+
+    ``pr_weights``: [HW, T] attention of one sample; ``lr_image``: [C,h,w].
+    """
+    h_tiles, w_tiles = grid
+    fh, fw = feat_hw
+    canvas = np.full(((fh + 1) * h_tiles, (fw + 1) * w_tiles), 255, np.uint8)
+    t = 0
+    for i in range(h_tiles):
+        for j in range(w_tiles):
+            if t >= pr_weights.shape[-1]:
+                break
+            att = pr_weights[:, t].reshape(fh, fw)
+            att = att / (att.max() + 1e-10)
+            canvas[
+                i * (fh + 1) : i * (fh + 1) + fh,
+                j * (fw + 1) : j * (fw + 1) + fw,
+            ] = (att * 255).astype(np.uint8)
+            t += 1
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    Image.fromarray(canvas).save(out_path)
+
+
 def run_demo(
     demo_dir: str,
     sr_fn: Callable[[np.ndarray], np.ndarray],

@@ -76,3 +76,42 @@ def test_textzoom_dataset(tmp_path):
     cat = ConcatDataset([ds, ds])
     assert len(cat) == 6
     assert cat[5][2] == "word3"
+
+
+def test_recognition_and_mix_datasets(tmp_path):
+    import io as _io
+
+    from PIL import Image
+
+    from tatt_tpu.data.lmdb_dataset import (
+        LmdbRecognitionDataset,
+        LmdbTextDataset,
+        MixDataset,
+    )
+
+    def png(w, h, color):
+        img = Image.new("RGB", (w, h), color)
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    records = {b"num-samples": b"2"}
+    for i in (1, 2):
+        records[b"label-%09d" % i] = b"w%d" % i
+        records[b"image-%09d" % i] = png(64, 32, (i, i, i))
+    root = str(tmp_path / "rec")
+    write_lmdb(root, records)
+    ds = LmdbRecognitionDataset(root)
+    img, label = ds[0]
+    assert img.size == (64, 32) and label == "w1"
+
+    records = {b"num-samples": b"2"}
+    for i in (1, 2):
+        records[b"label-%09d" % i] = b"m%d" % i
+        records[b"image_hr-%09d" % i] = png(128, 32, (0, i, 0))
+        records[b"image_lr-%09d" % i] = png(64, 16, (i, 0, 0))
+    root = str(tmp_path / "tz2")
+    write_lmdb(root, records)
+    mix = MixDataset(LmdbTextDataset(root), synth_prob=1.0)
+    hr, lr, label = mix[0]
+    assert lr.size == (64, 16) and label == "m1"
