@@ -18,6 +18,28 @@ import numpy as np
 from PIL import Image
 
 
+def fspecial_gaussian(size: int = 15, sigma: float = 1.0) -> np.ndarray:
+    """Matlab-style Gaussian kernel (``utils/utils_deblur.fspecial``, the
+    only KAIR helper the reference reaches — ``dataset.py:36``)."""
+    ax = np.arange(size) - (size - 1) / 2.0
+    xx, yy = np.meshgrid(ax, ax)
+    k = np.exp(-(xx**2 + yy**2) / (2.0 * sigma**2))
+    return k / k.sum()
+
+
+def srmd_degradation(
+    img: Image.Image, kernel: np.ndarray | None = None, sf: int = 3
+) -> Image.Image:
+    """SRMD blur + bicubic downsample (``utils/utils_sisr.srmd_degradation``,
+    reached via ``alignCollate_syn.degradation``, ``dataset.py:1678-1694``)."""
+    if kernel is None:
+        kernel = fspecial_gaussian(15, 1.0)
+    arr = np.asarray(img).astype(np.float32)
+    blurred = cv2.filter2D(arr, -1, kernel, borderType=cv2.BORDER_WRAP)
+    out = Image.fromarray(np.clip(blurred, 0, 255).astype(np.uint8))
+    return out.resize((img.width // sf, img.height // sf), Image.BICUBIC)
+
+
 def gauss_unsharp_mask(rgb: np.ndarray, k: int, sigma: float, gain: float):
     lf = cv2.GaussianBlur(rgb, (k, k), sigma)
     hf = rgb - lf

@@ -167,7 +167,15 @@ class Trainer:
                 donate_argnums=0,
             )
             self._eval_step = jax.jit(
-                make_eval_step(sr_apply, crnn_apply, parse_fn=self._parse_fn)
+                make_eval_step(
+                    sr_apply,
+                    crnn_apply,
+                    parse_fn=self._parse_fn,
+                    stu_iter=self.step_cfg.stu_iter,
+                    sr_share=self.step_cfg.sr_share,
+                    tpg_share=self.step_cfg.tpg_share,
+                    for_cascading=self.step_cfg.for_cascading,
+                )
             )
         else:
             criterion = build_criterion(cfg.args.arch, cfg)

@@ -389,25 +389,48 @@ def make_eval_step(
     sr_apply: Callable,
     student_apply: Callable,
     parse_fn: Callable = parse_crnn_input,
+    stu_iter: int = 1,
+    sr_share: bool = True,
+    tpg_share: bool = True,
+    for_cascading: bool = False,
 ):
     """Eval: student prior -> SR forward (eval mode), mirroring
-    ``model_inference`` (``super_resolution.py:240-449``).  Returns the SR
-    batch plus the student prior logits (the judge runs separately)."""
+    ``model_inference`` (``super_resolution.py:240-449``) including the
+    per-``stu_iter`` cascade.  Returns (sr of the final iteration, aux)
+    — the reference headlines the last iteration's metrics
+    (``super_resolution.py:1627-1700``)."""
 
     def eval_fn(state: TrainState, batch: dict):
         images_lr = batch["images_lr"]
-        lr_luma = parse_fn(images_lr[:, :3])
-        stu_vars = {
-            "params": state.student_params[0],
-            "batch_stats": state.student_batch_stats[0],
-        }
-        stu_logits = student_apply(stu_vars, lr_luma, False)
-        prior = jax.nn.softmax(stu_logits, axis=-1).transpose(1, 2, 0)[:, :, None, :]
-        sr_vars = {
-            "params": state.sr_params[0],
-            "batch_stats": state.sr_batch_stats[0],
-        }
-        sr, aux = sr_apply(sr_vars, images_lr, prior, False)
+        cascade = images_lr
+        sr = None
+        aux = None
+        for i in range(stu_iter):
+            if for_cascading and i > 0:
+                from tatt_tpu.kernels.resize import resize_bicubic
+
+                prev = resize_bicubic(sr, images_lr.shape[2], images_lr.shape[3])
+                cascade = (jnp.clip(prev, 0.0, 1.0) + images_lr) / 2.0
+            else:
+                cascade = images_lr
+            tpg_pick = 0 if tpg_share else i
+            pick = 0 if sr_share else i
+            lr_luma = parse_fn(cascade[:, :3])
+            stu_vars = {
+                "params": state.student_params[tpg_pick],
+                "batch_stats": state.student_batch_stats[tpg_pick],
+            }
+            stu_logits = student_apply(stu_vars, lr_luma, False)
+            prior = jax.nn.softmax(stu_logits, axis=-1).transpose(1, 2, 0)[
+                :, :, None, :
+            ]
+            sr_vars = {
+                "params": state.sr_params[pick],
+                "batch_stats": state.sr_batch_stats[pick],
+            }
+            sr, aux = sr_apply(
+                sr_vars, cascade if for_cascading else images_lr, prior, False
+            )
         return sr, aux
 
     return eval_fn
