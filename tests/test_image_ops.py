@@ -87,3 +87,26 @@ def test_rgb_to_luma():
     x = RNG.random((2, 3, 4, 4)).astype(np.float32)
     want = 0.299 * x[:, :1] + 0.587 * x[:, 1:2] + 0.114 * x[:, 2:3]
     np.testing.assert_allclose(np.asarray(rgb_to_luma(x)), want, atol=1e-6)
+
+
+def test_rotate_shear_close_to_gather():
+    """3-shear rotation approximates the bilinear gather rotation (extra
+    smoothing from composing interpolations is expected but small)."""
+    from tatt_tpu.kernels.grid_sample import rotate_batch_shear
+
+    rng = np.random.default_rng(3)
+    # smooth image so interpolation differences stay small
+    base = rng.random((1, 1, 8, 8)).astype(np.float32)
+    import jax.numpy as jnp
+    from tatt_tpu.kernels.resize import resize_bilinear
+
+    x = np.asarray(resize_bilinear(jnp.asarray(base), 32, 128)).repeat(4, 1)
+    x = np.broadcast_to(x, (4, 4, 32, 128)).copy()
+    arc = (rng.random(4).astype(np.float32) - 0.5) * 0.17  # ~±5°
+    offs = rng.random(4).astype(np.float32)
+    want = np.asarray(rotate_batch(x, arc, offs, method="gather"))
+    got = np.asarray(rotate_batch_shear(x, arc, offs))
+    # interiors agree closely; borders differ by padding handling
+    diff = np.abs(got - want)[:, :, 4:-4, 8:-8]
+    assert diff.mean() < 0.01, diff.mean()
+    assert np.quantile(diff, 0.99) < 0.06
