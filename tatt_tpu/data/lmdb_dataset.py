@@ -23,7 +23,18 @@ def buf2pil(buf: bytes) -> Image.Image:
 
 
 class LmdbTextDataset:
-    def __init__(self, root: str, voc_type: str = "all", max_len: int = 100):
+    def __init__(
+        self,
+        root: str,
+        voc_type: str = "all",
+        max_len: int = 100,
+        manmade_degrade: bool = False,
+        cutblur: bool = False,
+        test: bool = False,
+        seed: int = 0,
+    ):
+        import random as _random
+
         self.env = LmdbEnv(root)
         self.root = root
         n = self.env.get(b"num-samples")
@@ -32,25 +43,56 @@ class LmdbTextDataset:
         self.n_samples = int(n)
         self.voc_type = voc_type
         self.max_len = max_len
+        self.manmade_degrade = manmade_degrade
+        self.cutblur = cutblur
+        self.test = test
+        self._rng = _random.Random(seed)
 
     def __len__(self) -> int:
         return self.n_samples
 
+    def _cutblur(self, img_hr, img_lr):
+        """CutBlur mix (``dataset.py:622-637``): with p=0.3 paste an
+        HR-resolution slice into the LR crop."""
+        import numpy as _np
+
+        if self._rng.random() <= 0.7:
+            return img_lr
+        hr = _np.array(img_hr.resize(img_lr.size))
+        lr = _np.array(img_lr)
+        randx = int(lr.shape[1] * (0.2 + 0.8 * self._rng.random()))
+        if self._rng.random() <= 0.5:
+            lr[:, randx:] = hr[:, randx:]
+        else:
+            lr[:, :randx] = hr[:, :randx]
+        from PIL import Image as _Image
+
+        return _Image.fromarray(lr)
+
     def __getitem__(self, index: int):
+        from tatt_tpu.core.charset import str_filt
+
         if index >= self.n_samples:
             index = self.n_samples - 1
         idx = index + 1  # keys are 1-based
         label_buf = self.env.get(b"label-%09d" % idx)
         label = label_buf.decode("utf-8", "ignore") if label_buf else " "
         hr_buf = self.env.get(b"image_hr-%09d" % idx)
-        lr_buf = self.env.get(b"image_lr-%09d" % idx)
         try:
             img_hr = buf2pil(hr_buf)
-            img_lr = buf2pil(lr_buf)
+            if self.manmade_degrade:
+                from tatt_tpu.data.degradation import manmade_degradation
+
+                img_lr = manmade_degradation(img_hr, self._rng)
+            else:
+                img_lr = buf2pil(self.env.get(b"image_lr-%09d" % idx))
+            if self.cutblur and not self.test:
+                img_lr = self._cutblur(img_hr, img_lr)
         except (TypeError, OSError):
             # corrupt record: skip forward like the reference
             return self[(index + 1) % self.n_samples]
-        return img_hr, img_lr, label
+        # labels are voc-filtered at load time (dataset.py:685)
+        return img_hr, img_lr, str_filt(label, self.voc_type)
 
 
 class LmdbRecognitionDataset:
