@@ -99,6 +99,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dp_devices", type=int, default=0)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--log_dir", default="tensorboard")
+    p.add_argument("--vis", action="store_true",
+                   help="dump LR/SR/HR triptychs during eval")
     p.add_argument("--tiny_tpg", action="store_true",
                    help="shrink the CRNN text-prior generator (smoke runs)")
     p.add_argument("--synthetic", type=int, default=0, metavar="N",

@@ -129,6 +129,7 @@ class Flags:
     dtype: str = "float32"     # compute dtype for the model ("bfloat16" on TPU)
     log_dir: str = "tensorboard"
     tiny_tpg: bool = False     # shrink the CRNN for CPU smoke runs
+    vis: bool = False          # dump LR/SR/HR triptychs during eval
 
 
 @dataclass

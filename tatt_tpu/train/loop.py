@@ -381,6 +381,7 @@ class Trainer:
         )
         acc = EvalAccumulator()
         t0 = time.time()
+        n_vis_left = cfg.TRAIN.VAL.n_vis if cfg.args.vis else 0
         for batch in loader:
             arrays = batch.device_arrays()
             n_real = arrays["images_lr"].shape[0]
@@ -416,5 +417,21 @@ class Trainer:
                 psnr_lr=p_lr,
                 ssim_lr=s_lr,
             )
+            if n_vis_left > 0:
+                from tatt_tpu.train.demo import triptych
+
+                out_root = os.path.join("demo", cfg.vis_dir)
+                for vi in range(min(n_vis_left, n_real)):
+                    name = (
+                        f"{preds_lr[vi]}_{preds_sr[vi]}_"
+                        f"{batch.label_strs[vi]}_.png"
+                    ).replace("/", "")
+                    triptych(
+                        arrays["images_lr"][vi],
+                        sr[vi],
+                        hr[vi],
+                        os.path.join(out_root, name),
+                    )
+                    n_vis_left -= 1
         acc.infer_time = time.time() - t0
         return acc.summary()
