@@ -133,13 +133,23 @@ def main(argv=None) -> int:
             "easy": SyntheticTextDataset(n=max(cli.synthetic // 4, 8), seed=2),
         }
     elif cfg.TRAIN.train_data_dir:
-        from tatt_tpu.data.lmdb_dataset import LmdbTextDataset, ConcatDataset
+        from tatt_tpu.data.lmdb_dataset import (
+            ConcatDataset,
+            LmdbTextDataset,
+            MixDataset,
+        )
+
+        def make_train(d):
+            ds = LmdbTextDataset(d, voc_type=cfg.TRAIN.voc_type)
+            return MixDataset(ds) if cfg.args.mixed else ds
 
         train_ds = ConcatDataset(
-            [LmdbTextDataset(d) for d in cfg.TRAIN.train_data_dir]
+            [make_train(d) for d in cfg.TRAIN.train_data_dir]
         )
         val_sets = {
-            os.path.basename(d.rstrip("/")): LmdbTextDataset(d)
+            os.path.basename(d.rstrip("/")): LmdbTextDataset(
+                d, voc_type=cfg.TRAIN.voc_type, test=True
+            )
             for d in cfg.TRAIN.VAL.val_data_dir
         }
     else:
