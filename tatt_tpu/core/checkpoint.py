@@ -10,7 +10,6 @@ SURVEY §5.4).  Here a checkpoint is one msgpack file holding the whole
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Optional
 

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import bisect
 import io
-from typing import Optional
-
 from PIL import Image
 
 from tatt_tpu.data.lmdb_lite import LmdbEnv

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import random
 import string
-from typing import Iterator, Optional
-
 import numpy as np
 from PIL import Image, ImageDraw, ImageFilter
 

@@ -22,8 +22,6 @@ images * 2 - 1.
 
 from __future__ import annotations
 
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,7 +29,7 @@ from flax import linen as nn
 
 from tatt_tpu.kernels.resize import resize_bilinear
 from tatt_tpu.kernels.rnn import BiLSTM, gru_cell
-from tatt_tpu.models.common import BatchNorm2d, Conv2d, Dense
+from tatt_tpu.models.common import BatchNorm2d, Conv2d
 from tatt_tpu.models.stn import STNHead, tps_transform
 
 

@@ -19,8 +19,6 @@ bicubic to 32x100 + BT.601 luma; decode alphabet '0..9a..z$', cut at '$'.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,8 +11,6 @@ module implements that pipeline (with the optional BiLSTM stage for the
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

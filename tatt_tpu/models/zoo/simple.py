@@ -9,8 +9,6 @@ resized bilinearly (align_corners=True) for the _TL variants.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 
