@@ -228,6 +228,102 @@ def import_moran(path_or_sd) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def import_tatt(path_or_sd, srb_nums: int = 5) -> dict:
+    """Reference TATT generator checkpoint (``state_dict_G`` of
+    ``TSRN_TL_TRANS``, ``model/tsrn.py:576-692``) -> flax variables for
+    :class:`tatt_tpu.models.tsrn.TATT`.
+
+    NOTE: to reproduce reference inference exactly, build the model with
+    ``query_gru_mode='reference'`` (the checkpoint was trained under the
+    batch_first query-GRU quirk).
+    """
+    sd = (
+        load_state_dict(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    )
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    def bn_into(pdict, sdict, ours, theirs):
+        p, s = _bn(sd, theirs)
+        pdict[ours] = p
+        sdict[ours] = s
+
+    params["block1_conv"] = _conv(sd, "block1.0")
+    params["block1_act"] = {"alpha": sd["block1.1.weight"]}
+
+    for i in range(srb_nums):
+        blk = f"block{i+2}"
+        bp: dict[str, Any] = {
+            "conv1": _conv(sd, f"{blk}.conv1"),
+            "conv2": _conv(sd, f"{blk}.conv2"),
+        }
+        bs: dict[str, Any] = {}
+        p, s = _bn(sd, f"{blk}.bn1")
+        bp["bn1"] = p
+        bs["bn1"] = s
+        p, s = _bn(sd, f"{blk}.bn2")
+        bp["bn2"] = p
+        bs["bn2"] = s
+        for g in ("gru1", "gru2"):
+            bp[g] = {
+                "conv1": _conv(sd, f"{blk}.{g}.conv1"),
+                "gru": _birnn(sd, f"{blk}.{g}.gru"),
+            }
+        params[f"srb{i+2}"] = bp
+        stats[f"srb{i+2}"] = bs
+
+    # --- TPInterpreter
+    tpi_p: dict[str, Any] = {
+        "fc_in": _linear(sd, "infoGen.fc_in"),
+        "fc_in_act": {"alpha": sd["infoGen.activation.weight"]},
+        "init_factor": sd["infoGen.init_factor.weight"],
+        "gru_encoding": _birnn(sd, "infoGen.transformer.gru_encoding"),
+    }
+
+    def attn(theirs):
+        return {
+            "in_proj_weight": sd[f"{theirs}.in_proj_weight"],
+            "in_proj_bias": sd[f"{theirs}.in_proj_bias"],
+            "out_proj_weight": sd[f"{theirs}.out_proj.weight"],
+            "out_proj_bias": sd[f"{theirs}.out_proj.bias"],
+        }
+
+    def norm(theirs):
+        return {"scale": sd[f"{theirs}.weight"], "bias": sd[f"{theirs}.bias"]}
+
+    enc = "infoGen.transformer.encoder.layers.0"
+    tpi_p["encoder_0"] = {
+        "self_attn": attn(f"{enc}.self_attn"),
+        "linear1": _linear(sd, f"{enc}.linear1"),
+        "linear2": _linear(sd, f"{enc}.linear2"),
+        "norm1": norm(f"{enc}.norm1"),
+        "norm2": norm(f"{enc}.norm2"),
+    }
+    for k in (0, 1):
+        dec = f"infoGen.transformer.decoder.layers.{k}"
+        # the reference layer also carries an unused self_attn + norm1 —
+        # intentionally not imported (self-attention is disabled,
+        # transformer_v2.py:817-819)
+        tpi_p[f"decoder_{k}"] = {
+            "multihead_attn": attn(f"{dec}.multihead_attn"),
+            "linear1": _linear(sd, f"{dec}.linear1"),
+            "linear2": _linear(sd, f"{dec}.linear2"),
+            "norm2": norm(f"{dec}.norm2"),
+            "norm3": norm(f"{dec}.norm3"),
+        }
+    tpi_p["decoder_norm"] = norm("infoGen.transformer.decoder.norm")
+    params["infoGen"] = tpi_p
+
+    params["post_conv"] = _conv(sd, f"block{srb_nums+2}.0")
+    p, s = _bn(sd, f"block{srb_nums+2}.1")
+    params["post_bn"] = p
+    stats["post_bn"] = s
+
+    params["up0"] = {"conv": _conv(sd, f"block{srb_nums+3}.0.conv")}
+    params["final_conv"] = _conv(sd, f"block{srb_nums+3}.1")
+    return {"params": params, "batch_stats": stats}
+
+
 def import_crnn(path_or_sd) -> dict:
     """Reference ``crnn.pth`` (``model/crnn/crnn.py``) -> flax variables
     for :class:`tatt_tpu.models.recognizers.crnn.CRNN`."""

@@ -43,6 +43,13 @@ class TPInterpreter(nn.Module):
     num_encoder_layers: int = 1
     num_decoder_layers: int = 2
     dropout: float = 0.1
+    # 'width'     — the intended semantics: BiGRU smooths the query table
+    #               along the W axis, shared across the batch (default).
+    # 'reference' — bit-faithful to the reference's batch_first quirk
+    #               (transformer_v2.py:215-221): torch scans across the
+    #               BATCH, so each batch index gets a different query.
+    #               Needed when importing reference generator checkpoints.
+    query_gru_mode: str = "width"
 
     @nn.compact
     def __call__(
@@ -84,15 +91,30 @@ class TPInterpreter(nn.Module):
         )
         fh, fw = self.output_size
         table = init_factor.astype(dt).reshape(fh, fw, self.d_model)
-        cols = table.transpose(1, 0, 2).reshape(1, fw, fh * self.d_model)
-        cols = BiGRU(hidden=fh * self.d_model // 2, name="gru_encoding")(cols)
-        query_pos = (
-            cols.reshape(fw, fh, self.d_model).transpose(1, 0, 2).reshape(1, seq_len, self.d_model)
-        )
+        gru = BiGRU(hidden=fh * self.d_model // 2, name="gru_encoding")
+        if self.query_gru_mode == "reference":
+            # torch batch_first quirk: rows = W positions, sequence = the
+            # batch dimension (identical embeddings per step)
+            cols = table.transpose(1, 0, 2).reshape(fw, 1, fh * self.d_model)
+            cols = jnp.broadcast_to(cols, (fw, n, fh * self.d_model))
+            cols = gru(cols)  # [W, N, H*C]
+            query_pos = (
+                cols.reshape(fw, n, fh, self.d_model)
+                .transpose(1, 2, 0, 3)
+                .reshape(n, seq_len, self.d_model)
+            )
+        else:
+            cols = table.transpose(1, 0, 2).reshape(1, fw, fh * self.d_model)
+            cols = gru(cols)
+            query_pos = (
+                cols.reshape(fw, fh, self.d_model)
+                .transpose(1, 0, 2)
+                .reshape(1, seq_len, self.d_model)
+            )
+            query_pos = jnp.broadcast_to(query_pos, (n, seq_len, self.d_model))
 
         # tgt = flattened image features [N, H*W, C]
         tgt = image_feature.reshape(n, c_i, h * w).transpose(0, 2, 1)
-        query_pos = jnp.broadcast_to(query_pos, (n, seq_len, self.d_model))
 
         norm = LayerNorm(name="decoder_norm")
         intermediates = []

@@ -438,6 +438,7 @@ class TATT(nn.Module):
     text_emb: int = 37
     out_text_channels: int = 64
     dropout: float = 0.1
+    query_gru_mode: str = "width"  # see TPInterpreter
 
     @nn.compact
     def __call__(
@@ -477,6 +478,7 @@ class TATT(nn.Module):
             d_model=self.out_text_channels,
             output_size=(lr_h, lr_w),
             dropout=self.dropout,
+            query_gru_mode=self.query_gru_mode,
             name="infoGen",
         )(b1, text_emb, deterministic)
 
