@@ -1,0 +1,67 @@
+"""TPS rectification parity vs the reference's precomputed-matrix method
+(``model/tps_spatial_transformer.py``)."""
+
+import itertools
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from tatt_tpu.models.stn import build_output_control_points, tps_transform
+
+
+def _torch_tps(images, source_ctrl, out_hw, num_ctrl=20, margins=(0.05, 0.05)):
+    """Reference TPS forward, reconstructed with torch ops."""
+    th, tw = out_hw
+
+    def partial_repr(a, b):
+        diff = a.view(a.shape[0], 1, 2) - b.view(1, b.shape[0], 2)
+        dist = (diff**2).sum(-1)
+        rep = 0.5 * dist * torch.log(dist)
+        rep[rep != rep] = 0
+        return rep
+
+    tcp = torch.from_numpy(
+        build_output_control_points(num_ctrl, margins).astype(np.float32)
+    )
+    n = num_ctrl
+    fk = torch.zeros(n + 3, n + 3)
+    fk[:n, :n] = partial_repr(tcp, tcp)
+    fk[:n, -3] = 1
+    fk[-3, :n] = 1
+    fk[:n, -2:] = tcp
+    fk[-2:, :n] = tcp.t()
+    inv = torch.inverse(fk)
+
+    hw = th * tw
+    coords = torch.tensor(
+        list(itertools.product(range(th), range(tw))), dtype=torch.float32
+    )
+    y = coords[:, 0:1] / (th - 1)
+    x = coords[:, 1:2] / (tw - 1)
+    coord = torch.cat([x, y], dim=1)
+    repr_mat = torch.cat(
+        [partial_repr(coord, tcp), torch.ones(hw, 1), coord], dim=1
+    )
+
+    b = source_ctrl.shape[0]
+    yy = torch.cat([source_ctrl, torch.zeros(b, 3, 2)], 1)
+    mapping = torch.matmul(inv, yy)
+    src_coord = torch.matmul(repr_mat, mapping)
+    grid = src_coord.view(-1, th, tw, 2).clamp(0, 1) * 2 - 1
+    return F.grid_sample(images, grid, align_corners=False)
+
+
+def test_tps_matches_reference():
+    torch.set_num_threads(1)
+    rng = np.random.default_rng(0)
+    images = rng.random((2, 4, 16, 64)).astype(np.float32)
+    # control points near the identity border grid with jitter
+    base = build_output_control_points(20, (0.05, 0.05)).astype(np.float32)
+    ctrl = base[None] + rng.normal(0, 0.02, (2, 20, 2)).astype(np.float32)
+
+    want = _torch_tps(
+        torch.from_numpy(images), torch.from_numpy(ctrl), (16, 64)
+    ).numpy()
+    got = np.asarray(tps_transform(images, ctrl, (16, 64)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
