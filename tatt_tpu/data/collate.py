@@ -43,8 +43,13 @@ def resize_normalize(
     img: Image.Image, size: tuple[int, int], mask: bool
 ) -> np.ndarray:
     """``resizeNormalize`` (``dataset.py:1266-1319``): bicubic resize to
-    (W, H), ToTensor, optional binarized-mask 4th channel."""
-    img = img.resize(size, Image.BICUBIC)
+    (W, H), ToTensor, optional binarized-mask 4th channel.
+
+    TextZoom crops are stored at the target sizes, so the resize is
+    usually an identity — skipped to keep the 1-thread host pipeline off
+    the critical path."""
+    if img.size != size:
+        img = img.resize(size, Image.BICUBIC)
     tensor = to_tensor(img)
     if mask:
         gray = img.convert("L")

@@ -53,15 +53,24 @@ class SyntheticTextDataset:
         seed: int = 0,
         hr_size: tuple[int, int] = (128, 32),
         lr_size: tuple[int, int] = (64, 16),
+        cache: bool = True,
     ):
         self.n = n
         self.seed = seed
         self.hr_size = hr_size
         self.lr_size = lr_size
+        # rendering costs ~2 ms/sample on a 1-CPU host; samples are
+        # deterministic per index, so memoize across epochs
+        self._cache: dict[int, tuple] | None = {} if cache else None
 
     def __len__(self) -> int:
         return self.n
 
     def __getitem__(self, i: int):
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
         rng = random.Random(self.seed * 1_000_003 + i)
-        return render_sample(rng, self.hr_size, self.lr_size)
+        sample = render_sample(rng, self.hr_size, self.lr_size)
+        if self._cache is not None:
+            self._cache[i] = sample
+        return sample
