@@ -72,11 +72,14 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        error: list[BaseException] = []
 
         def producer():
             try:
                 for item in batches():
                     q.put(item)
+            except BaseException as exc:  # surface in the consumer
+                error.append(exc)
             finally:
                 q.put(sentinel)
 
@@ -85,5 +88,7 @@ class DataLoader:
         while True:
             item = q.get()
             if item is sentinel:
+                if error:
+                    raise error[0]
                 break
             yield item
