@@ -39,25 +39,44 @@ def to_tensor(img: Image.Image) -> np.ndarray:
     return arr
 
 
+def _pil_luma_u8(rgb_u8: np.ndarray) -> np.ndarray:
+    """PIL ``convert('L')`` fixed-point luma, batched:
+    (R*19595 + G*38470 + B*7471 + 0x8000) >> 16."""
+    r = rgb_u8[..., 0].astype(np.uint32)
+    g = rgb_u8[..., 1].astype(np.uint32)
+    b = rgb_u8[..., 2].astype(np.uint32)
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
+
+
+def batch_normalize(
+    imgs: list[Image.Image], size: tuple[int, int], mask: bool
+) -> np.ndarray:
+    """Vectorized ``resizeNormalize`` over a batch: one stacked uint8
+    array, one float conversion, batched mask binarization.  TextZoom
+    crops are stored at target size, so the resize is usually identity —
+    this keeps the single-thread host pipeline off the critical path."""
+    arrs = np.stack(
+        [
+            np.asarray(
+                im if im.size == size else im.resize(size, Image.BICUBIC)
+            )
+            for im in imgs
+        ]
+    )  # [B, H, W, 3] uint8
+    tensor = arrs.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+    if mask:
+        gray = _pil_luma_u8(arrs).astype(np.float32)  # [B, H, W]
+        thres = gray.mean(axis=(1, 2), keepdims=True)
+        m = (gray <= thres).astype(np.float32)
+        tensor = np.concatenate([tensor, m[:, None]], axis=1)
+    return tensor
+
+
 def resize_normalize(
     img: Image.Image, size: tuple[int, int], mask: bool
 ) -> np.ndarray:
-    """``resizeNormalize`` (``dataset.py:1266-1319``): bicubic resize to
-    (W, H), ToTensor, optional binarized-mask 4th channel.
-
-    TextZoom crops are stored at the target sizes, so the resize is
-    usually an identity — skipped to keep the 1-thread host pipeline off
-    the critical path."""
-    if img.size != size:
-        img = img.resize(size, Image.BICUBIC)
-    tensor = to_tensor(img)
-    if mask:
-        gray = img.convert("L")
-        arr = np.asarray(gray, dtype=np.float32)
-        thres = arr.mean()
-        m = (arr <= thres).astype(np.float32)  # 255 where x <= mean
-        tensor = np.concatenate([tensor, m[None]], axis=0)
-    return tensor
+    """``resizeNormalize`` (``dataset.py:1266-1319``) for one image."""
+    return batch_normalize([img], size, mask)[0]
 
 
 @dataclass
@@ -112,27 +131,21 @@ def collate(
     hrs_y, lrs_y = [], []
     if syn:
         eval_perturb = True
+    lr_size = (width // down_sample_scale, height // down_sample_scale)
     for hr, lr, label in samples:
-        hrs.append(resize_normalize(hr, (width, height), mask))
+        hrs.append(hr)
         if syn:
             lr = lr.resize((lr.width // 2, lr.height // 2), Image.BICUBIC)
-        lrs.append(
-            resize_normalize(
-                lr, (width // down_sample_scale, height // down_sample_scale), mask
-            )
-        )
+        lrs.append(lr)
         if y_domain:
-            hrs_y.append(
-                resize_normalize(hr.convert("YCbCr"), (width, height), mask)
-            )
-            lrs_y.append(
-                resize_normalize(
-                    lr.convert("YCbCr"),
-                    (width // down_sample_scale, height // down_sample_scale),
-                    mask,
-                )
-            )
+            hrs_y.append(hr.convert("YCbCr"))
+            lrs_y.append(lr.convert("YCbCr"))
         labels.append(label)
+    hrs = batch_normalize(hrs, (width, height), mask)
+    lrs = batch_normalize(lrs, lr_size, mask)
+    if y_domain:
+        hrs_y = batch_normalize(hrs_y, (width, height), mask)
+        lrs_y = batch_normalize(lrs_y, lr_size, mask)
 
     label_vecs, ctc_ids, tics = encode_label_vecs(
         labels, alphabet, max_len, eval_perturb, spread=not syn
@@ -149,10 +162,10 @@ def collate(
         pos += n
 
     return Batch(
-        images_hr=np.stack(hrs),
-        images_lr=np.stack(lrs),
-        images_hr_y=np.stack(hrs_y) if y_domain else None,
-        images_lr_y=np.stack(lrs_y) if y_domain else None,
+        images_hr=hrs,
+        images_lr=lrs,
+        images_hr_y=hrs_y if y_domain else None,
+        images_lr_y=lrs_y if y_domain else None,
         label_strs=list(labels),
         label_vecs=label_vecs,
         ctc_ids=ctc_ids,
