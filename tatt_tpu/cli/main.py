@@ -108,6 +108,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_iters", type=int, default=None)
     p.add_argument("--crnn_pretrained", type=str, default=None,
                    help=".pth or .ckpt weights for the teacher/judge CRNN")
+    p.add_argument("--rec_pretrained", type=str, default=None,
+                   help=".pth weights for the ASTER judge (--test_model=ASTER)")
+    p.add_argument("--moran_pretrained", type=str, default=None,
+                   help=".pth weights for the MORAN judge (--test_model=MORAN)")
     return p
 
 
@@ -159,13 +163,58 @@ def main(argv=None) -> int:
         )
         return 2
 
+    # Teacher CRNN: CLI flag, else the YAML path (reference always loads
+    # crnn.pth via CRNN_init, base.py:712-744). Training distillation
+    # against a random teacher is meaningless — warn loudly.
+    crnn_path = cli.crnn_pretrained or cfg.TRAIN.VAL.crnn_pretrained
     teacher_vars = None
-    if cli.crnn_pretrained:
+    if crnn_path:
+        if not os.path.exists(crnn_path):
+            print(f"teacher CRNN weights not found: {crnn_path}", file=sys.stderr)
+            return 2
         from tatt_tpu.core.torch_import import import_crnn
 
-        teacher_vars = import_crnn(cli.crnn_pretrained)
+        teacher_vars = import_crnn(crnn_path)
+    elif cfg.args.use_distill and not cli.synthetic:
+        print(
+            "WARNING: --use_distill with a RANDOMLY-INITIALIZED teacher CRNN "
+            "(no --crnn_pretrained / TRAIN.VAL.crnn_pretrained). The distill "
+            "loss will pull the student toward random logits and the CRNN "
+            "judge makes best-acc selection noise. Supply crnn.pth weights "
+            "for meaningful training.",
+            file=sys.stderr,
+        )
 
-    trainer = Trainer(cfg, train_ds, val_sets, teacher_variables=teacher_vars)
+    # Judge per --test_model (reference test_bible, super_resolution.py:
+    # 485-513): ASTER <- rec_pretrained, MORAN <- moran_pretrained,
+    # CRNN <- the teacher. Trainer hard-errors on a weightless non-CRNN judge.
+    judge_vars = None
+    if cfg.args.test_model == "ASTER":
+        rec_path = cli.rec_pretrained or cfg.TRAIN.VAL.rec_pretrained
+        if rec_path:
+            if not os.path.exists(rec_path):
+                print(f"ASTER judge weights not found: {rec_path}", file=sys.stderr)
+                return 2
+            from tatt_tpu.core.torch_import import import_aster
+
+            judge_vars = import_aster(rec_path)
+    elif cfg.args.test_model == "MORAN":
+        moran_path = cli.moran_pretrained or cfg.TRAIN.VAL.moran_pretrained
+        if moran_path:
+            if not os.path.exists(moran_path):
+                print(f"MORAN judge weights not found: {moran_path}", file=sys.stderr)
+                return 2
+            from tatt_tpu.core.torch_import import import_moran
+
+            judge_vars = import_moran(moran_path)
+
+    trainer = Trainer(
+        cfg,
+        train_ds,
+        val_sets,
+        teacher_variables=teacher_vars,
+        judge_variables=judge_vars,
+    )
     if cfg.resume:
         trainer.resume(cfg.resume)
 

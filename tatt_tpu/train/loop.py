@@ -94,17 +94,35 @@ class Trainer:
         )
         t = jnp.zeros((2, cfg.MODEL.text_emb, 1, 26))
         luma = jnp.zeros((2, 1, 32, self._tpg_width))
-        if self.uses_prior:
-            sr_vars = self.sr_model.init(k1, x, t, train=True)
+        # the reference clones stu_iter independent SR models / students
+        # unless --sr_share / --tpg_share (super_resolution.py:466-469,
+        # 524-540); shared configs keep exactly one copy
+        sr_share = cfg.args.sr_share or cfg.args.stu_iter == 1
+        tpg_share = cfg.args.tpg_share or cfg.args.stu_iter == 1
+        n_sr = 1 if sr_share else cfg.args.stu_iter
+        n_stu = 1 if tpg_share else cfg.args.stu_iter
+
+        def init_sr(key):
+            if self.uses_prior:
+                return self.sr_model.init(key, x, t, train=True)
+            return self.sr_model.init(key, x[:, : self.channels], train=True)
+
+        sr_vars_list = [
+            init_sr(jax.random.fold_in(k1, i)) for i in range(n_sr)
+        ]
+        if teacher_variables is not None:
+            stu_vars_list = [
+                {
+                    "params": teacher_variables["params"],
+                    "batch_stats": teacher_variables.get("batch_stats", {}),
+                }
+                for _ in range(n_stu)
+            ]
         else:
-            sr_vars = self.sr_model.init(
-                k1, x[:, : self.channels], train=True
-            )
-        stu_vars = (
-            {"params": teacher_variables["params"], "batch_stats": teacher_variables.get("batch_stats", {})}
-            if teacher_variables is not None
-            else self.crnn.init(k2, luma)
-        )
+            stu_vars_list = [
+                self.crnn.init(jax.random.fold_in(k2, i), luma)
+                for i in range(n_stu)
+            ]
         self.teacher_vars = (
             teacher_variables
             if teacher_variables is not None
@@ -113,12 +131,12 @@ class Trainer:
         self.judge_vars = judge_variables or self.teacher_vars
 
         tx = make_optimizer(cfg.lr, cfg.TRAIN.beta1)
-        self.state = TrainState.create([sr_vars], [stu_vars], tx)
+        self.state = TrainState.create(sr_vars_list, stu_vars_list, tx)
 
         self.step_cfg = StepConfig(
             stu_iter=cfg.args.stu_iter,
-            sr_share=cfg.args.sr_share or cfg.args.stu_iter == 1,
-            tpg_share=cfg.args.tpg_share or cfg.args.stu_iter == 1,
+            sr_share=sr_share,
+            tpg_share=tpg_share,
             use_distill=cfg.args.use_distill,
             use_label=cfg.args.use_label,
             for_cascading=cfg.args.for_cascading,
@@ -202,16 +220,24 @@ class Trainer:
                 return sr, {}
 
             self._eval_step = jax.jit(plain_eval)
-        # judge per --test_model; defaults to the teacher CRNN weights when
-        # no dedicated judge checkpoint is supplied
+        # judge per --test_model (reference test_bible,
+        # super_resolution.py:485-513); a non-CRNN judge REQUIRES weights —
+        # silently substituting the CRNN teacher would make reported
+        # accuracies non-comparable to the reference protocol
         if judge_variables is not None:
             from tatt_tpu.train.judge import make_judge
 
             self._judge_fn = make_judge(
                 cfg.args.test_model, judge_variables, cfg.TRAIN.voc_type
             )
+        elif cfg.args.test_model != "CRNN":
+            raise ValueError(
+                f"--test_model={cfg.args.test_model} requires judge weights: "
+                "set TRAIN.VAL.rec_pretrained (ASTER) / moran_pretrained "
+                "(MORAN) in the YAML or pass judge_variables"
+            )
         else:
-            # fall back to the teacher CRNN (whatever its size)
+            # CRNN judge without dedicated weights: use the teacher CRNN
             judge_fwd = jax.jit(
                 lambda v, images: crnn_apply(
                     v, self._parse_fn(images[:, :3]), False

@@ -139,22 +139,28 @@ def make_train_step(
                 tpg_pick = 0 if cfg.tpg_share else i
                 pick = 0 if cfg.sr_share else i
 
+                # the reference detaches cascade_images at loop top
+                # (super_resolution.py:786) and feeds it to the student even
+                # without --for_cascading: at i>0 the student refines the
+                # previous iteration's (detached) SR output
+                cascade_images = jax.lax.stop_gradient(cascade_images)
                 if cfg.for_cascading and i > 0:
                     # feed the previous SR back as the next LR input
                     # (super_resolution.py:808-824): bicubic to LR size,
                     # clamp, average with the original LR
                     from tatt_tpu.kernels.resize import resize_bicubic
 
-                    prev = jax.lax.stop_gradient(cascade_images)
                     prev = resize_bicubic(
-                        prev, images_lr.shape[2], images_lr.shape[3]
+                        cascade_images, images_lr.shape[2], images_lr.shape[3]
                     )
                     prev = jnp.clip(prev, 0.0, 1.0)
                     cascade_images = (prev + images_lr) / 2.0
-                    stage_luma = parse_fn(cascade_images[:, :3])
-                else:
-                    cascade_images = images_lr
+                if i == 0 or cfg.y_domain:
+                    # y_domain always feeds the raw LR RGB to the student
+                    # (super_resolution.py:794)
                     stage_luma = lr_luma
+                else:
+                    stage_luma = parse_fn(cascade_images[:, :3]).astype(cdt)
 
                 stu_vars = {
                     "params": stu_params[tpg_pick],
@@ -406,16 +412,20 @@ def make_eval_step(
         sr = None
         aux = None
         for i in range(stu_iter):
+            # student at i>0 sees the previous SR output, like training
+            # (model_inference, super_resolution.py:316-318,374-376)
+            lr_luma = parse_fn(cascade[:, :3])
             if for_cascading and i > 0:
                 from tatt_tpu.kernels.resize import resize_bicubic
 
-                prev = resize_bicubic(sr, images_lr.shape[2], images_lr.shape[3])
-                cascade = (jnp.clip(prev, 0.0, 1.0) + images_lr) / 2.0
+                prev = resize_bicubic(
+                    cascade, images_lr.shape[2], images_lr.shape[3]
+                )
+                sr_input = (jnp.clip(prev, 0.0, 1.0) + images_lr) / 2.0
             else:
-                cascade = images_lr
+                sr_input = images_lr
             tpg_pick = 0 if tpg_share else i
             pick = 0 if sr_share else i
-            lr_luma = parse_fn(cascade[:, :3])
             stu_vars = {
                 "params": state.student_params[tpg_pick],
                 "batch_stats": state.student_batch_stats[tpg_pick],
@@ -429,8 +439,9 @@ def make_eval_step(
                 "batch_stats": state.sr_batch_stats[pick],
             }
             sr, aux = sr_apply(
-                sr_vars, cascade if for_cascading else images_lr, prior, False
+                sr_vars, sr_input if for_cascading else images_lr, prior, False
             )
+            cascade = sr
         return sr, aux
 
     return eval_fn

@@ -135,3 +135,68 @@ def test_train_step_y_domain():
     step = jax.jit(make_train_step(sr_apply, crnn_apply, crnn_apply, cfg))
     _, metrics = step(state, teacher_vars, ybatch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss_total"]))
+
+
+def test_train_step_two_iters_no_cascade_no_share(batch):
+    """stu_iter=2 WITHOUT --for_cascading and WITHOUT share flags: the
+    student at i=1 must see the (detached) previous SR output
+    (super_resolution.py:786,794) and per-iteration model copies must be
+    indexed without crashing."""
+    sr_apply, crnn_apply, _, teacher_vars = _tiny_setup()
+    sr_model = TATT(srb_nums=1, hidden_units=4, out_text_channels=8)
+    crnn = CRNN(**TINY_CRNN)
+    x = jnp.zeros((2, 4, 16, 64))
+    t = jnp.zeros((2, 37, 1, 26))
+    luma = jnp.zeros((2, 1, 32, 100))
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    sr_vars = [sr_model.init(keys[i], x, t, train=True) for i in range(2)]
+    stu_vars = [crnn.init(keys[2 + i], luma) for i in range(2)]
+    state = TrainState.create(sr_vars, stu_vars, make_optimizer(1e-3))
+
+    cfg = StepConfig(
+        stu_iter=2,
+        sr_share=False,
+        tpg_share=False,
+        for_cascading=False,
+        tssim_loss=False,
+        rotate_train=0.0,
+    )
+    step = jax.jit(make_train_step(sr_apply, crnn_apply, crnn_apply, cfg))
+    new_state, metrics = step(state, teacher_vars, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_total"]))
+    # both SR copies received gradient updates
+    for pick in range(2):
+        p0 = jax.tree_util.tree_leaves(state.sr_params[pick])[0]
+        p1 = jax.tree_util.tree_leaves(new_state.sr_params[pick])[0]
+        assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_trainer_inits_copies_and_judge_guard():
+    """Trainer builds stu_iter model copies when share flags are off, and
+    hard-errors on a non-CRNN judge without weights."""
+    from tatt_tpu.core.config import Config
+    from tatt_tpu.data.synthetic import SyntheticTextDataset
+    from tatt_tpu.train.loop import Trainer
+
+    ds = SyntheticTextDataset(n=8)
+
+    cfg = Config()
+    cfg.args.tiny_tpg = True
+    cfg.args.stu_iter = 2
+    cfg.args.log_dir = ""
+    cfg.MODEL.srb_nums = 1
+    cfg.MODEL.hidden_units = 4
+    cfg.MODEL.out_text_channels = 8
+    trainer = Trainer(cfg, ds)
+    assert len(trainer.state.sr_params) == 2
+    assert len(trainer.state.student_params) == 2
+
+    cfg2 = Config()
+    cfg2.args.tiny_tpg = True
+    cfg2.args.test_model = "ASTER"
+    cfg2.args.log_dir = ""
+    cfg2.MODEL.srb_nums = 1
+    cfg2.MODEL.hidden_units = 4
+    cfg2.MODEL.out_text_channels = 8
+    with pytest.raises(ValueError, match="requires judge weights"):
+        Trainer(cfg2, ds)
