@@ -112,6 +112,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help=".pth weights for the ASTER judge (--test_model=ASTER)")
     p.add_argument("--moran_pretrained", type=str, default=None,
                    help=".pth weights for the MORAN judge (--test_model=MORAN)")
+    p.add_argument("--vgg16_pretrained", type=str, default=None,
+                   help="torchvision vgg16 .pth (enables LPIPS eval metric)")
+    p.add_argument("--lpips_pretrained", type=str, default=None,
+                   help="lpips package vgg.pth linear heads (with --vgg16_pretrained)")
     return p
 
 
@@ -208,12 +212,27 @@ def main(argv=None) -> int:
 
             judge_vars = import_moran(moran_path)
 
+    # LPIPS eval metric when both checkpoints are configured
+    # (super_resolution.py:41-43, 1409-1420)
+    lpips_vars = None
+    vgg16_path = cli.vgg16_pretrained or cfg.TRAIN.VAL.vgg16_pretrained
+    lpips_path = cli.lpips_pretrained or cfg.TRAIN.VAL.lpips_pretrained
+    if vgg16_path and lpips_path:
+        for pth in (vgg16_path, lpips_path):
+            if not os.path.exists(pth):
+                print(f"LPIPS weights not found: {pth}", file=sys.stderr)
+                return 2
+        from tatt_tpu.losses.perceptual import import_lpips
+
+        lpips_vars = import_lpips(vgg16_path, lpips_path)
+
     trainer = Trainer(
         cfg,
         train_ds,
         val_sets,
         teacher_variables=teacher_vars,
         judge_variables=judge_vars,
+        lpips_variables=lpips_vars,
     )
     if cfg.resume:
         trainer.resume(cfg.resume)

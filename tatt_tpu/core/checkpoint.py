@@ -25,6 +25,7 @@ def save_checkpoint(
     state: TrainState,
     info: Optional[dict] = None,
     best_history: Optional[dict] = None,
+    converge: Optional[list] = None,
 ) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # host-side copy (works for sharded arrays too)
@@ -33,6 +34,9 @@ def save_checkpoint(
         "state": serialization.to_state_dict(host_state),
         "info": info or {},
         "best_history_res": best_history or {},
+        # convergence history embedded like the reference
+        # (super_resolution.py:1169-1172); msgpack needs plain types
+        "converge": _plain(converge or []),
     }
     blob = serialization.msgpack_serialize(
         jax.tree_util.tree_map(_to_serializable, payload)
@@ -44,11 +48,28 @@ def save_checkpoint(
 
 
 def restore_checkpoint(path: str, state: TrainState) -> tuple[TrainState, dict]:
-    """Restore into the structure of ``state``; returns (state, info)."""
+    """Restore into the structure of ``state``; returns (state, info).
+
+    Extras (``best_history_res``, ``converge``) ride along inside the
+    returned info dict under ``_best_history`` / ``_converge``."""
     with open(path, "rb") as fh:
         payload = serialization.msgpack_restore(fh.read())
     restored = serialization.from_state_dict(state, payload["state"])
-    return restored, payload.get("info", {})
+    info = dict(payload.get("info", {}))
+    info["_best_history"] = payload.get("best_history_res", {})
+    info["_converge"] = payload.get("converge", [])
+    return restored, info
+
+
+def _plain(x: Any) -> Any:
+    """Recursively convert to msgpack-safe plain Python types."""
+    if isinstance(x, dict):
+        return {k: _plain(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_plain(v) for v in x]
+    if isinstance(x, np.generic):
+        return x.item()
+    return x
 
 
 def _to_serializable(x: Any) -> Any:

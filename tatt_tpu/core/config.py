@@ -26,6 +26,10 @@ class ValConfig:
     rec_pretrained: str = ""
     moran_pretrained: str = ""
     crnn_pretrained: str = ""
+    # LPIPS eval metric inputs (reference downloads these via the lpips
+    # package, super_resolution.py:41-43; here they are explicit paths)
+    vgg16_pretrained: str = ""
+    lpips_pretrained: str = ""
 
 
 @dataclass

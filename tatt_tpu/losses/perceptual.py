@@ -101,6 +101,38 @@ _LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
+def import_lpips(vgg16_path_or_sd, lpips_path_or_sd):
+    """Load the two external checkpoints behind ``lpips.LPIPS(net='vgg')``
+    (reference ``super_resolution.py:41-43``): the torchvision VGG16
+    backbone and the lpips linear heads.
+
+    Returns ``(vgg_variables, lin_weights)`` for :func:`lpips_vgg`."""
+    from tatt_tpu.core.torch_import import load_state_dict
+
+    vgg_sd = (
+        load_state_dict(vgg16_path_or_sd)
+        if isinstance(vgg16_path_or_sd, str)
+        else vgg16_path_or_sd
+    )
+    feats = {
+        k[len("features."):]: v
+        for k, v in vgg_sd.items()
+        if k.startswith("features.")
+    } or vgg_sd  # accept a features-only state dict too
+    vgg_variables = import_vgg16_features(feats)
+
+    lp_sd = (
+        load_state_dict(lpips_path_or_sd)
+        if isinstance(lpips_path_or_sd, str)
+        else lpips_path_or_sd
+    )
+    lin_weights = [
+        np.asarray(lp_sd[f"lin{i}.model.1.weight"]).reshape(-1)
+        for i in range(5)
+    ]
+    return vgg_variables, lin_weights
+
+
 def lpips_vgg(
     vgg_variables,
     lin_weights: Sequence[np.ndarray],

@@ -46,6 +46,7 @@ class Trainer:
         val_datasets: Optional[dict] = None,
         teacher_variables=None,
         judge_variables=None,
+        lpips_variables=None,
         log_fn: Callable[[str], None] = print,
     ):
         self.cfg = cfg
@@ -271,6 +272,17 @@ class Trainer:
         self.best_sum_acc = -1.0
         self.converge_list: list = []
 
+        # LPIPS-VGG eval metric when weights are configured
+        # (super_resolution.py:1409-1420); None -> metric omitted
+        self._lpips_fn = None
+        if lpips_variables is not None:
+            from tatt_tpu.losses.perceptual import lpips_vgg
+
+            vgg_vars, lin_weights = lpips_variables
+            self._lpips_fn = jax.jit(
+                lambda a, b: lpips_vgg(vgg_vars, lin_weights, a, b)
+            )
+
         self.ckpt_dir = os.path.join(cfg.TRAIN.ckpt_dir, cfg.vis_dir)
 
         self._writer = None
@@ -288,6 +300,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def resume(self, path: str) -> None:
         self.state, info = restore_checkpoint(path, self.state)
+        self.converge_list = list(info.pop("_converge", []))
+        self.best_history = dict(info.pop("_best_history", {}))
+        if self.best_history:
+            self.best_sum_acc = sum(
+                r.get("accuracy", 0.0) for r in self.best_history.values()
+            )
         self.log(f"resumed from {path} at step {int(self.state.step)}: {info}")
 
     def _scalars(self, step: int, metrics: dict) -> None:
@@ -342,6 +360,7 @@ class Trainer:
                         os.path.join(self.ckpt_dir, "checkpoint.ckpt"),
                         self.state,
                         info=self._info(iters, epoch),
+                        converge=self.converge_list,
                     )
                 if max_iters is not None and iters >= max_iters:
                     self.state = jax.device_get(state)
@@ -385,6 +404,7 @@ class Trainer:
                 self.state,
                 info=self._info(iters, epoch),
                 best_history=results,
+                converge=self.converge_list,
             )
             self.log(f"new best sum-acc {sum_acc:.4f} @ iter {iters}")
 
@@ -414,7 +434,7 @@ class Trainer:
             # pad tail batches to the full batch size so the jitted eval
             # step compiles once (and stays divisible by the mesh)
             padded, _ = pad_to_multiple(arrays, bs)
-            sr, _aux = self._eval_step(self.state, padded)
+            sr, aux = self._eval_step(self.state, padded)
             sr = np.asarray(sr)[:n_real]
             hr = arrays["images_hr"]
             p = float(psnr_fn(sr, hr))
@@ -430,6 +450,14 @@ class Trainer:
             )
             p_lr = float(psnr_fn(lr_up, hr))
             s_lr = float(ssim_fn(jnp.asarray(lr_up), jnp.asarray(hr)))
+            lpips_sr = lpips_lr = None
+            if self._lpips_fn is not None:
+                lpips_sr = float(
+                    np.mean(self._lpips_fn(jnp.asarray(sr), jnp.asarray(hr)))
+                )
+                lpips_lr = float(
+                    np.mean(self._lpips_fn(jnp.asarray(lr_up), jnp.asarray(hr)))
+                )
             preds_sr = self._judge_fn(jnp.asarray(sr))
             preds_lr = self._judge_fn(jnp.asarray(arrays["images_lr"]))
             preds_hr = self._judge_fn(jnp.asarray(hr))
@@ -442,11 +470,18 @@ class Trainer:
                 batch.label_strs,
                 psnr_lr=p_lr,
                 ssim_lr=s_lr,
+                lpips_sr=lpips_sr,
+                lpips_lr=lpips_lr,
             )
             if n_vis_left > 0:
-                from tatt_tpu.train.demo import triptych
+                from tatt_tpu.train.demo import attention_grid, triptych
 
                 out_root = os.path.join("demo", cfg.vis_dir)
+                pr_weights = (
+                    np.asarray(aux["pr_weights"])
+                    if isinstance(aux, dict) and aux.get("pr_weights") is not None
+                    else None
+                )
                 for vi in range(min(n_vis_left, n_real)):
                     name = (
                         f"{preds_lr[vi]}_{preds_sr[vi]}_"
@@ -458,6 +493,18 @@ class Trainer:
                         hr[vi],
                         os.path.join(out_root, name),
                     )
+                    if pr_weights is not None:
+                        # TP-Interpreter cross-attention tiles
+                        # (super_resolution.py:925-1020)
+                        attention_grid(
+                            pr_weights[vi],
+                            arrays["images_lr"][vi],
+                            os.path.join(out_root, "att_" + name),
+                            feat_hw=(
+                                cfg.TRAIN.height // cfg.scale_factor,
+                                cfg.TRAIN.width // cfg.scale_factor,
+                            ),
+                        )
                     n_vis_left -= 1
         acc.infer_time = time.time() - t0
         return acc.summary()
