@@ -85,6 +85,7 @@ class Batch:
 
     images_hr: np.ndarray  # [B, C, H, W]
     images_lr: np.ndarray  # [B, C, H/s, W/s]
+    images_pseudo_lr: Optional[np.ndarray]  # blur-ensemble LR (syn path)
     images_hr_y: Optional[np.ndarray]
     images_lr_y: Optional[np.ndarray]
     label_strs: list[str]
@@ -106,6 +107,8 @@ class Batch:
         if self.images_hr_y is not None:
             out["images_hr_y"] = self.images_hr_y
             out["images_lr_y"] = self.images_lr_y
+        if self.images_pseudo_lr is not None:
+            out["images_pseudo_lr"] = self.images_pseudo_lr
         return out
 
 
@@ -120,22 +123,39 @@ def collate(
     eval_perturb: bool = False,
     y_domain: bool = False,
     syn: bool = False,
+    srmd: bool = False,
+    seed: Optional[int] = None,
 ) -> Batch:
     """``samples``: iterable of (img_HR, img_lr, label).
 
     ``syn=True`` reproduces ``alignCollate_syn.__call__``
     (``dataset.py:1696-1817``): the LR crop is halved again before the
-    resize, labels are NOT '-'-spread, and the ``word[2]='e'`` perturbation
-    is active."""
+    resize, labels are NOT '-'-spread, the ``word[2]='e'`` perturbation is
+    active, and a pseudo-LR batch is produced by the imgaug-style blur
+    ensemble (``transform_pseudoLR``, ``dataset.py:1636-1674``; the
+    reference constructs it but ships ``images_pseudoLR = None`` at
+    ``:1989`` — here the slot is real).  ``srmd=True`` additionally routes
+    the LR through SRMD kernel-blur degradation (``degradation``,
+    ``dataset.py:1678-1694``, latent in the reference)."""
+    import random as _random
+
+    from tatt_tpu.data.degradation import blur_ensemble, srmd_degradation
+
     hrs, lrs, labels = [], [], []
-    hrs_y, lrs_y = [], []
+    hrs_y, lrs_y, pseudo = [], [], []
     if syn:
         eval_perturb = True
     lr_size = (width // down_sample_scale, height // down_sample_scale)
+    rng = _random.Random(seed) if seed is not None else _random.Random()
     for hr, lr, label in samples:
         hrs.append(hr)
         if syn:
             lr = lr.resize((lr.width // 2, lr.height // 2), Image.BICUBIC)
+            if srmd:
+                lr = srmd_degradation(lr)
+            pseudo.append(
+                blur_ensemble(lr.resize(lr_size, Image.BICUBIC), rng)
+            )
         lrs.append(lr)
         if y_domain:
             hrs_y.append(hr.convert("YCbCr"))
@@ -143,6 +163,8 @@ def collate(
         labels.append(label)
     hrs = batch_normalize(hrs, (width, height), mask)
     lrs = batch_normalize(lrs, lr_size, mask)
+    if pseudo:
+        pseudo = batch_normalize(pseudo, lr_size, mask)
     if y_domain:
         hrs_y = batch_normalize(hrs_y, (width, height), mask)
         lrs_y = batch_normalize(lrs_y, lr_size, mask)
@@ -164,6 +186,7 @@ def collate(
     return Batch(
         images_hr=hrs,
         images_lr=lrs,
+        images_pseudo_lr=pseudo if syn else None,
         images_hr_y=hrs_y if y_domain else None,
         images_lr_y=lrs_y if y_domain else None,
         label_strs=list(labels),

@@ -24,3 +24,25 @@ def test_blur_ensemble_runs():
     )
     out = blur_ensemble(img, rng, p=1.0)  # force every augmenter
     assert out.size == img.size
+
+
+def test_collate_syn_emits_pseudo_lr():
+    """syn collate must produce a real pseudo-LR batch that differs from
+    the plain LR (VERDICT round-1 item #5; dataset.py:1636-1694)."""
+    from tatt_tpu.data.collate import collate
+    from tatt_tpu.data.synthetic import SyntheticTextDataset
+
+    ds = SyntheticTextDataset(n=4)
+    batch = collate([ds[i] for i in range(4)], syn=True, seed=3)
+    assert batch.images_pseudo_lr is not None
+    assert batch.images_pseudo_lr.shape == batch.images_lr.shape
+    assert not np.allclose(batch.images_pseudo_lr, batch.images_lr)
+    assert "images_pseudo_lr" in batch.device_arrays()
+
+    # srmd branch also runs and degrades
+    b2 = collate([ds[i] for i in range(4)], syn=True, srmd=True, seed=3)
+    assert np.isfinite(b2.images_lr).all()
+
+    # non-syn collate leaves the slot empty
+    b3 = collate([ds[i] for i in range(4)])
+    assert b3.images_pseudo_lr is None
