@@ -128,9 +128,36 @@ def parse_config(argv=None) -> Config:
     return cfg
 
 
+def warn_dead_flags(cfg) -> None:
+    """Flags the reference parses but never consumes anywhere (verified:
+    no reads of args.text_focus / args.test_distorted_fusing / args.BiSR;
+    args.prob_insert only inside an ``if False`` block,
+    ``super_resolution.py:346-371``). Accepted for CLI compatibility."""
+    dead = []
+    if cfg.args.text_focus:
+        dead.append("--text_focus")
+    if cfg.args.test_distorted_fusing:
+        dead.append("--test_distorted_fusing")
+    if cfg.args.BiSR:
+        dead.append("--BiSR")
+    if cfg.args.prob_insert != 1.0:
+        dead.append("--prob_insert")
+    if cfg.args.rotate_test:
+        # parsed into dataset constructors which compute-then-discard the
+        # rotation (dataset.py:665-666) — no effect, matching the reference
+        dead.append("--rotate_test")
+    for flag in dead:
+        print(
+            f"WARNING: {flag} is dead code in the reference and has no "
+            "effect here (accepted for CLI compatibility)",
+            file=sys.stderr,
+        )
+
+
 def main(argv=None) -> int:
     cfg = parse_config(argv)
     cli = cfg._cli
+    warn_dead_flags(cfg)
 
     from tatt_tpu.data.synthetic import SyntheticTextDataset
     from tatt_tpu.train.loop import Trainer
@@ -151,13 +178,25 @@ def main(argv=None) -> int:
             ds = LmdbTextDataset(d, voc_type=cfg.TRAIN.voc_type)
             return MixDataset(ds) if cfg.args.mixed else ds
 
+        def make_val(d):
+            # --badset / --ic15sr swap the eval corpus (the reference
+            # parses these but never consumes them; here they select the
+            # matching reader from data/variants.py)
+            if cfg.args.badset:
+                from tatt_tpu.data.variants import BadSetFolderDataset
+
+                return BadSetFolderDataset(d, voc_type=cfg.TRAIN.voc_type, test=True)
+            if cfg.args.ic15sr:
+                from tatt_tpu.data.variants import IC15TextSRDataset
+
+                return IC15TextSRDataset(d, voc_type=cfg.TRAIN.voc_type, test=True)
+            return LmdbTextDataset(d, voc_type=cfg.TRAIN.voc_type, test=True)
+
         train_ds = ConcatDataset(
             [make_train(d) for d in cfg.TRAIN.train_data_dir]
         )
         val_sets = {
-            os.path.basename(d.rstrip("/")): LmdbTextDataset(
-                d, voc_type=cfg.TRAIN.voc_type, test=True
-            )
+            os.path.basename(d.rstrip("/")): make_val(d)
             for d in cfg.TRAIN.VAL.val_data_dir
         }
     else:

@@ -43,6 +43,7 @@ class StepConfig(NamedTuple):
     gradient: bool = True
     ssim_loss: bool = False
     tssim_loss: bool = True
+    mse_fuse: bool = False
     rotate_train: float = 5.0
     training_stablize: bool = False
     grad_clip: float = 0.25
@@ -366,6 +367,25 @@ def make_plain_train_step(
                 ts = (1.0 - tri_ssim(sr_ret, sr, images_hr)) * 10.0
                 loss = loss + ts
                 metrics["loss_tssim"] = ts
+            if cfg.mse_fuse:
+                # rotation-consistency MSE fuse x100 (tsrn branch,
+                # super_resolution.py:692-700). The reference computes the
+                # rotated-back copy but compares against the unrotated one
+                # — we use the rotated-back copy (the intended target).
+                sr_ret2, mut = sr_apply(
+                    {"params": params["sr"][0], "batch_stats": mut["batch_stats"]},
+                    images_lr_ret,
+                    True,
+                    rngs={"dropout": jax.random.fold_in(drop_rng, 2)},
+                    mutable=["batch_stats"],
+                )
+                if cfg.rotate_train:
+                    sr_ret2 = rotate_batch(sr_ret2, arc, rand_offs)
+                mf = (
+                    criterion(sr, jax.lax.stop_gradient(sr_ret2)).mean() * 100.0
+                )
+                loss = loss + mf
+                metrics["loss_mse_fuse"] = mf
             metrics["loss_total"] = loss
             return loss, ((mut["batch_stats"],), metrics)
 
