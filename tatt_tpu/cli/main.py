@@ -28,7 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "tatt",
             "tsrn",
+            "sem_tsrn",
+            "tsrn_c2f",
             "tsrn_tl_cascade",
+            "tsrn_tl_cascade_sft",
             "srcnn",
             "srcnn_tl",
             "vdsr",

@@ -217,6 +217,7 @@ class Dense(nn.Module):
     """Linear layer with torch default init, applied to the last axis."""
 
     features: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -224,8 +225,11 @@ class Dense(nn.Module):
         kernel = self.param(
             "kernel", torch_conv_init(in_f), (in_f, self.features)
         )
-        bias = self.param("bias", torch_conv_init(in_f), (self.features,))
-        return x @ kernel.astype(x.dtype) + bias.astype(x.dtype)
+        out = x @ kernel.astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", torch_conv_init(in_f), (self.features,))
+            out = out + bias.astype(x.dtype)
+        return out
 
 
 def max_pool_nchw(

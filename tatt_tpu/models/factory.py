@@ -343,6 +343,19 @@ def _tsrn_c2f(cfg: Config):
     )
 
 
+@register("sem_tsrn")
+def _sem_tsrn(cfg: Config):
+    from tatt_tpu.models.tsrn import SEM_TSRN
+
+    return SEM_TSRN(
+        scale_factor=cfg.scale_factor,
+        stn=cfg.args.STN,
+        srb_nums=cfg.args.srb,
+        mask=cfg.args.mask,
+        hidden_units=cfg.args.hd_u,
+    )
+
+
 @register("tsrn_tl_cascade")
 def _tsrn_tl(cfg: Config):
     from tatt_tpu.models.tsrn import TSRN_TL

@@ -17,6 +17,36 @@ import numpy as np
 from tatt_tpu.core.charset import levenshtein, str_filt
 
 
+def _normalize_text(text: str) -> str:
+    """Lowercase alphanumerics only (``utils/metrics.py:13-17``)."""
+    return "".join(ch for ch in text.lower() if ch.isalnum())
+
+
+def lexicon_search(lexicon: list[str], word: str) -> str:
+    """Closest lexicon entry by edit distance on normalized text
+    (``utils/metrics.py:95-102``)."""
+    dists = [
+        levenshtein(_normalize_text(lex), _normalize_text(word))
+        for lex in lexicon
+    ]
+    return lexicon[int(np.argmin(dists))]
+
+
+def accuracy_with_lexicon(
+    preds: list[str], targets: list[str], lexicons: list[list[str]]
+) -> tuple[float, float]:
+    """(raw accuracy, lexicon-refined accuracy) — the per-lexicon protocol
+    of ``Accuracy_with_lexicon`` (``utils/metrics.py:112-149``) with the
+    lexicon supplied per sample instead of dataset attributes."""
+    n = max(len(preds), 1)
+    raw = sum(p == t for p, t in zip(preds, targets)) / n
+    refined_hits = 0
+    for p, t, lex in zip(preds, targets, lexicons):
+        refined = lexicon_search(lex, p) if lex else p
+        refined_hits += refined == t
+    return raw, refined_hits / n
+
+
 @dataclass
 class EvalAccumulator:
     psnr: list = field(default_factory=list)
