@@ -28,6 +28,16 @@ def load_state_dict(path: str) -> dict[str, np.ndarray]:
     return {k.replace("module.", ""): _np(v) for k, v in blob.items()}
 
 
+def _to_device(variables: dict) -> dict:
+    """numpy -> jax arrays: model code may eagerly fancy-index imported
+    tables (e.g. embedding lookups) with traced ids, which numpy leaves
+    cannot satisfy."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.asarray, variables)
+
+
 def _conv(sd: Mapping[str, np.ndarray], name: str, bias: bool = True) -> dict:
     out = {"kernel": sd[f"{name}.weight"]}
     if bias and f"{name}.bias" in sd:
@@ -154,7 +164,7 @@ def import_aster(path_or_sd, blocks=(3, 4, 6, 6, 3)) -> dict:
         dparams[f"{ours}_kernel"] = lin["kernel"]
         dparams[f"{ours}_bias"] = lin["bias"]
     params["decoder"] = dparams
-    return {"params": params, "batch_stats": stats}
+    return _to_device({"params": params, "batch_stats": stats})
 
 
 def import_moran(path_or_sd) -> dict:
@@ -225,7 +235,7 @@ def import_moran(path_or_sd) -> dict:
             "generator_b": sd[f"{pre}.generator.bias"],
             "char_embeddings": sd[f"{pre}.char_embeddings"],
         }
-    return {"params": params, "batch_stats": stats}
+    return _to_device({"params": params, "batch_stats": stats})
 
 
 def import_tatt(path_or_sd, srb_nums: int = 5) -> dict:
@@ -321,7 +331,7 @@ def import_tatt(path_or_sd, srb_nums: int = 5) -> dict:
 
     params["up0"] = {"conv": _conv(sd, f"block{srb_nums+3}.0.conv")}
     params["final_conv"] = _conv(sd, f"block{srb_nums+3}.1")
-    return {"params": params, "batch_stats": stats}
+    return _to_device({"params": params, "batch_stats": stats})
 
 
 def import_crnn(path_or_sd) -> dict:
@@ -343,4 +353,4 @@ def import_crnn(path_or_sd) -> dict:
             "rnn": _birnn(sd, f"rnn.{j}.rnn"),
             "embedding": _linear(sd, f"rnn.{j}.embedding"),
         }
-    return {"params": params, "batch_stats": stats}
+    return _to_device({"params": params, "batch_stats": stats})

@@ -1,16 +1,19 @@
 """Host-side data loading: shuffle, batch, collate, device prefetch.
 
-The reference uses torch DataLoader with worker processes
-(``interfaces/base.py:210-215``).  On this stack the host work (PIL resize,
-mask binarization, label encoding) is a pure function per batch; a
-background thread pipelines collation with device compute, and
-``prefetch_to_device`` overlaps H2D.
+The reference uses torch DataLoader with 8 worker processes
+(``interfaces/base.py:210-215``).  On this stack the host work (LMDB read,
+image decode, PIL resize, mask binarization, label encoding) is a pure
+function per batch; with ``num_workers > 1`` whole batches are built
+concurrently on a thread pool (LMDB reads via ctypes, PIL decode/resize,
+and numpy collate all release the GIL) and yielded in order, overlapping
+host work with device compute.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
@@ -30,6 +33,7 @@ class DataLoader:
         seed: int = 1234,
         collate_kwargs: Optional[dict] = None,
         prefetch: int = 2,
+        num_workers: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -38,6 +42,7 @@ class DataLoader:
         self.seed = seed
         self.collate_kwargs = collate_kwargs or {}
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -53,18 +58,41 @@ class DataLoader:
             rng.shuffle(idx)
         return idx
 
+    def _build(self, sel: np.ndarray) -> Batch:
+        samples = [self.dataset[int(i)] for i in sel]
+        return collate(samples, **self.collate_kwargs)
+
     def __iter__(self) -> Iterator[Batch]:
         idx = self._indices()
         self._epoch += 1
         n_batches = len(self)
+        selections = [
+            idx[b * self.batch_size : (b + 1) * self.batch_size]
+            for b in range(n_batches)
+        ]
+        selections = [s for s in selections if len(s)]
+
+        if self.num_workers > 1:
+            # batch-granular thread pool: up to num_workers batches are
+            # decoded+collated concurrently, yielded in order, with at most
+            # num_workers + prefetch batches in flight
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                inflight: queue.Queue = queue.Queue()
+                depth = self.num_workers + max(self.prefetch, 0)
+                for sel in selections[:depth]:
+                    inflight.put(pool.submit(self._build, sel))
+                consumed = min(depth, len(selections))
+                while not inflight.empty():
+                    fut = inflight.get()
+                    if consumed < len(selections):
+                        inflight.put(pool.submit(self._build, selections[consumed]))
+                        consumed += 1
+                    yield fut.result()
+            return
 
         def batches():
-            for b in range(n_batches):
-                sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                if len(sel) == 0:
-                    return
-                samples = [self.dataset[int(i)] for i in sel]
-                yield collate(samples, **self.collate_kwargs)
+            for sel in selections:
+                yield self._build(sel)
 
         if self.prefetch <= 0:
             yield from batches()

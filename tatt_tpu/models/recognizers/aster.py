@@ -232,7 +232,7 @@ class AsterRecognizer(nn.Module):
     stn_on: bool = True
 
     def setup(self):
-        self.stn_head = STNHead(num_ctrlpoints=20)
+        self.stn_head = STNHead(num_ctrlpoints=20, variant="aster")
         self.encoder = ResNetAster(with_lstm=True)
         self.decoder = AsterDecoderParams(num_classes=self.num_classes)
 

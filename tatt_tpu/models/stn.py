@@ -106,15 +106,24 @@ def tps_transform(
 class STNHead(nn.Module):
     """``model/stn_head.py:25-106``: conv tower -> fc -> 2K control points;
     final fc initialized so the predicted points start at the identity
-    border grid, and its input scaled by 0.1."""
+    border grid, and its input scaled by 0.1.
+
+    ``variant='generator'`` pools like the TATT generator's head (16x64
+    input -> 1x2); ``variant='aster'`` like the ASTER recognizer's
+    (``model/recognizer/stn_head.py:33-44``: five 2x2 pools, 32x64 input
+    -> 1x2) — the two reference files differ only in this layout."""
 
     num_ctrlpoints: int = 20
     activation: str = "none"
+    variant: str = "generator"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         chans = [32, 64, 128, 256, 256, 256]
-        pools = [(2, 2), (2, 2), (2, 2), (2, 2), (1, 2), None]
+        if self.variant == "aster":
+            pools = [(2, 2), (2, 2), (2, 2), (2, 2), (2, 2), None]
+        else:
+            pools = [(2, 2), (2, 2), (2, 2), (2, 2), (1, 2), None]
         for i, (c, pool) in enumerate(zip(chans, pools)):
             x = Conv2d(c, (3, 3), padding=(1, 1), name=f"conv{i}")(x)
             x = BatchNorm2d(name=f"bn{i}")(x, train)

@@ -259,6 +259,7 @@ class Trainer:
             shuffle=True,
             drop_last=True,
             seed=cfg.TRAIN.manualSeed,
+            num_workers=max(int(getattr(cfg.TRAIN, "workers", 1)), 1),
             collate_kwargs=dict(
                 width=cfg.TRAIN.width,
                 height=cfg.TRAIN.height,
