@@ -151,6 +151,14 @@ def main(arm: str = "tssim") -> None:
             loss_img = loss_img + loss_tssim
 
         loss = loss_img + loss_distill
+        if it < 3 or it % 50 == 0:
+            lt = float(loss_tssim) if arm == "tssim" else 0.0
+            print(
+                f"  step {it}: total {float(loss):.3f} "
+                f"sr {float(loss_img) - lt:.3f} tssim {lt:.3f} "
+                f"distill {float(loss_distill):.3f}",
+                flush=True,
+            )
         opt.zero_grad()
         loss.backward()
         for group in opt.param_groups:

@@ -261,6 +261,25 @@ def import_tatt(path_or_sd, srb_nums: int = 5) -> dict:
     params["block1_conv"] = _conv(sd, "block1.0")
     params["block1_act"] = {"alpha": sd["block1.1.weight"]}
 
+    # --- STN head + TPS (present when trained with --STN; used only in
+    # train-mode forwards, model/tsrn.py:648-650). Same Sequential layout
+    # as the ASTER head (conv blocks at indices 0,2,4,6,8,10).
+    if "stn_head.stn_fc2.weight" in sd:
+        stn_p, stn_s = {}, {}
+        for i, bi in enumerate((0, 2, 4, 6, 8, 10)):
+            stn_p[f"conv{i}"] = _conv(sd, f"stn_head.stn_convnet.{bi}.0")
+            p, s = _bn(sd, f"stn_head.stn_convnet.{bi}.1")
+            stn_p[f"bn{i}"] = p
+            stn_s[f"bn{i}"] = s
+        stn_p["fc1"] = _linear(sd, "stn_head.stn_fc1.0")
+        p, s = _bn(sd, "stn_head.stn_fc1.1")
+        stn_p["fc1_bn"] = p
+        stn_s["fc1_bn"] = s
+        stn_p["fc2_kernel"] = sd["stn_head.stn_fc2.weight"].T
+        stn_p["fc2_bias"] = sd["stn_head.stn_fc2.bias"]
+        params["stn_head"] = stn_p
+        stats["stn_head"] = stn_s
+
     for i in range(srb_nums):
         blk = f"block{i+2}"
         bp: dict[str, Any] = {

@@ -474,6 +474,7 @@ class Trainer:
                 ssim_lr=s_lr,
                 lpips_sr=lpips_sr,
                 lpips_lr=lpips_lr,
+                n_real=n_real,
             )
             if n_vis_left > 0:
                 from tatt_tpu.train.demo import attention_grid, triptych

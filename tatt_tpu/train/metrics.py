@@ -51,6 +51,7 @@ def accuracy_with_lexicon(
 class EvalAccumulator:
     psnr: list = field(default_factory=list)
     ssim: list = field(default_factory=list)
+    batch_sizes: list = field(default_factory=list)
     psnr_lr: list = field(default_factory=list)
     ssim_lr: list = field(default_factory=list)
     lpips_sr: list = field(default_factory=list)
@@ -75,9 +76,13 @@ class EvalAccumulator:
         ssim_lr: float | None = None,
         lpips_sr: float | None = None,
         lpips_lr: float | None = None,
+        n_real: int | None = None,
     ) -> None:
         self.psnr.append(float(psnr))
         self.ssim.append(float(ssim))
+        self.batch_sizes.append(
+            int(n_real) if n_real is not None else len(labels)
+        )
         if psnr_lr is not None:
             self.psnr_lr.append(float(psnr_lr))
         if ssim_lr is not None:
@@ -103,9 +108,21 @@ class EvalAccumulator:
     def summary(self) -> dict:
         n = max(self.n_images, 1)
         nb = max(len(self.psnr), 1)
+        # per-batch average matches the reference's aggregation
+        # (super_resolution.py:1627-1652), which weights a short tail
+        # batch equally; the *_weighted variants weight by sample count
+        # (identical when drop_last or equal batches).
+        w = np.asarray(self.batch_sizes[: len(self.psnr)], np.float64)
+        wsum = float(w.sum()) or 1.0
         out = {
             "psnr_avg": float(np.sum(self.psnr)) / nb,
             "ssim_avg": float(np.sum(self.ssim)) / nb,
+            "psnr_avg_weighted": float(np.dot(self.psnr, w)) / wsum
+            if len(w) == len(self.psnr)
+            else float(np.sum(self.psnr)) / nb,
+            "ssim_avg_weighted": float(np.dot(self.ssim, w)) / wsum
+            if len(w) == len(self.ssim)
+            else float(np.sum(self.ssim)) / nb,
             "accuracy": round(self.n_correct_sr / n, 4),
             "accuracy_lr": round(self.n_correct_lr / n, 4),
             "accuracy_hr": round(self.n_correct_hr / n, 4),

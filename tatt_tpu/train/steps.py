@@ -96,12 +96,17 @@ def make_train_step(
 
         if cfg.rotate_train:
             b = images_lr.shape[0]
-            a_rng, o_rng = jax.random.split(rot_rng)
-            angle = (
-                jax.random.uniform(a_rng, (b,)) * 2.0 - 1.0
-            ) * cfg.rotate_train
-            arc = angle / 180.0 * math.pi
-            rand_offs = jax.random.uniform(o_rng, (b,))
+            if "rot_arc" in batch:
+                # deterministic override (lockstep experiments / tests)
+                arc = batch["rot_arc"]
+                rand_offs = batch["rot_offs"]
+            else:
+                a_rng, o_rng = jax.random.split(rot_rng)
+                angle = (
+                    jax.random.uniform(a_rng, (b,)) * 2.0 - 1.0
+                ) * cfg.rotate_train
+                arc = angle / 180.0 * math.pi
+                rand_offs = jax.random.uniform(o_rng, (b,))
             images_lr = rotate_batch(images_lr, arc, rand_offs)
             images_hr = rotate_batch(images_hr, arc, rand_offs)
             images_lr_ret = rotate_batch(images_lr, -arc, rand_offs)
