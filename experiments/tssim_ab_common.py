@@ -15,8 +15,8 @@ import numpy as np
 
 FIXTURE = "/tmp/tssim_ab_batch.npz"
 BATCH = 32
-ITERS = 150
-EVAL_EVERY = 10
+ITERS = int(os.environ.get("AB_ITERS", 150))
+EVAL_EVERY = int(os.environ.get("AB_EVAL_EVERY", 10))
 
 
 def make_fixture(path: str = FIXTURE) -> str:

@@ -83,7 +83,8 @@ def main(arm: str = "tssim") -> None:
     images_lr0 = torch.from_numpy(data["images_lr"])
 
     model = TSRN_TL_TRANS(
-        scale_factor=2, width=128, height=32, STN=True, srb_nums=5,
+        scale_factor=2, width=128, height=32,
+        STN=(os.environ.get("AB_STN", "1") == "1"), srb_nums=5,
         mask=True, hidden_units=32,
     )
     stu = CRNN(32, 1, 37, 256)

@@ -111,9 +111,11 @@ def main(arm="tssim", dtype="float32", rot_method=None) -> None:
         arcs.append((angle / 180.0 * math.pi).astype(np.float32))
         offs.append(np.random.rand(b).astype(np.float32))
 
+    # STN=True to match the torch arm (the round-1 A/B trained the jax
+    # arm WITHOUT STN — not the reference recipe)
     sr_model = TATT(
         srb_nums=5, hidden_units=32, out_text_channels=64,
-        query_gru_mode="reference",
+        query_gru_mode="reference", stn=True,
     )
     crnn = CRNN()
     sr_vars = import_tatt(load_sd("model"))
@@ -157,7 +159,18 @@ def main(arm="tssim", dtype="float32", rot_method=None) -> None:
                 f"  step {it}: total {m.get('loss_total', 0):.3f} "
                 f"sr {m.get('loss_sr', 0):.3f} "
                 f"tssim {m.get('loss_tssim', 0):.3f} "
-                f"distill {m.get('loss_distill', 0):.3f}",
+                f"distill {m.get('loss_distill', 0):.3f} "
+                f"| sr_out mean {m.get('sr_mean', 0):.4f} "
+                f"min {m.get('sr_min', 0):.3f} max {m.get('sr_max', 0):.3f} "
+                f"grad_norm {m.get('grad_norm_sr', 0):.3f}",
+                flush=True,
+            )
+            gn = sorted(
+                ((k, v) for k, v in m.items() if k.startswith("gnorm/")),
+                key=lambda kv: -kv[1],
+            )
+            print(
+                "    " + " ".join(f"{k[6:]}={v:.1f}" for k, v in gn[:8]),
                 flush=True,
             )
     print("done")

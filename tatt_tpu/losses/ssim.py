@@ -29,10 +29,20 @@ def _gaussian_window(window_h: int, window_w: int, sigma: float = 1.5) -> np.nda
 
 
 def _depthwise_filter(img: jnp.ndarray, window: np.ndarray) -> jnp.ndarray:
-    """Depthwise 'same' conv of NCHW with a single 2-D window."""
+    """Depthwise 'same' conv of NCHW with a single 2-D window.
+
+    ``Precision.HIGHEST`` is load-bearing: on TPU, f32 convs default to
+    bf16 MXU passes, and the SSIM variances ``E[x^2] - E[x]^2`` then
+    catastrophically cancel for near-saturated images (|x| ~ 1, true
+    variance ~1e-3 << bf16 eps at 1.0).  Locally-negative variance
+    estimates drive the (s1+s2+C2) denominators toward/below zero and the
+    loss *gradients* explode by 4-6 orders of magnitude — found as the
+    root cause of the round-1 rotate+tssim training stall (the forward
+    loss value looks sane; only the backward blows up)."""
     c = img.shape[1]
     kh, kw = window.shape
-    kernel = jnp.asarray(window, img.dtype)[None, None].repeat(c, axis=0)
+    img = img.astype(jnp.float32)
+    kernel = jnp.asarray(window, jnp.float32)[None, None].repeat(c, axis=0)
     return jax.lax.conv_general_dilated(
         img,
         kernel,
@@ -40,6 +50,7 @@ def _depthwise_filter(img: jnp.ndarray, window: np.ndarray) -> jnp.ndarray:
         padding=[(kh // 2,) * 2, (kw // 2,) * 2],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -262,12 +262,28 @@ def make_train_step(
 
             total = loss_img + loss_distill
             metrics["loss_total"] = total
+            metrics["sr_mean"] = sr[:, :3].mean()
+            metrics["sr_min"] = sr[:, :3].min()
+            metrics["sr_max"] = sr[:, :3].max()
             return total, (tuple(new_sr_stats), tuple(new_stu_stats), metrics)
 
         params = {"sr": state.sr_params, "student": state.student_params}
         (loss, (sr_stats, stu_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        metrics["grad_norm_sr"] = jnp.sqrt(
+            sum(
+                jnp.sum(g.astype(jnp.float32) ** 2)
+                for g in jax.tree_util.tree_leaves(grads["sr"][0])
+            )
+        )
+        for key, sub in grads["sr"][0].items():
+            metrics[f"gnorm/{key}"] = jnp.sqrt(
+                sum(
+                    jnp.sum(g.astype(jnp.float32) ** 2)
+                    for g in jax.tree_util.tree_leaves(sub)
+                )
+            )
 
         grads = {
             "sr": clip_grads_per_model(grads["sr"], cfg.grad_clip),

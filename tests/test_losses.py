@@ -98,3 +98,30 @@ def test_psnr():
     mse = ((a * 255 - b * 255) ** 2).mean()
     want = 20 * np.log10(255 / np.sqrt(mse))
     assert abs(float(psnr(a, b)) - want) < 1e-3
+
+
+def test_ssim_family_computes_in_f32():
+    """The SSIM windows must run at full precision even under bf16
+    compute: on TPU, bf16 (or default-precision f32) convs make the
+    variance terms E[x^2]-E[x]^2 cancel catastrophically for
+    near-saturated images, exploding the loss *gradients* by 4-6 orders
+    (round-2 root cause of the rotate+tssim training stall)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tatt_tpu.losses.ssim import _depthwise_filter, _gaussian_window, tri_ssim
+
+    x = jnp.full((2, 3, 16, 32), 0.999, jnp.bfloat16)
+    out = _depthwise_filter(x, _gaussian_window(11, 11))
+    assert out.dtype == jnp.float32
+
+    # gradient stays modest for a flat near-saturated pair vs a textured HR
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(rng.random((2, 3, 16, 32), np.float32))
+    sr = jnp.full((2, 3, 16, 32), 0.999, jnp.float32)
+
+    def loss(a, b):
+        return (1.0 - tri_ssim(a, b, hr)) * 10.0
+
+    ga, gb = jax.grad(loss, argnums=(0, 1))(sr, sr + 1e-3)
+    assert float(jnp.abs(ga).max()) < 1.0 and float(jnp.abs(gb).max()) < 1.0
