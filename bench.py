@@ -61,11 +61,15 @@ def main() -> None:
 
     tx = make_optimizer(1e-3, beta1=0.5)
     state = TrainState.create([sr_vars], [stu_vars], tx)
+    import os
+
     cfg = StepConfig(
         tssim_loss=True,
         rotate_train=5.0,
         use_distill=True,
         compute_dtype="bfloat16",
+        # opt-in perf variant: sr + counter-rotated copy in one 2B forward
+        fused_tssim=os.environ.get("BENCH_FUSED_TSSIM") == "1",
     )
     step = jax.jit(
         make_train_step(sr_apply, crnn_apply, crnn_apply, cfg), donate_argnums=0

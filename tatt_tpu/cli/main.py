@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_label", action="store_true")
     p.add_argument("--ssim_loss", action="store_true")
     p.add_argument("--tssim_loss", action="store_true")
+    p.add_argument("--fused_tssim", action="store_true",
+                   help="run the tssim counter-rotated copy in the same "
+                        "forward (faster; BN stats computed jointly)")
     p.add_argument("--color_loss", action="store_true")
     p.add_argument("--sr_share", action="store_true")
     p.add_argument("--tpg_share", action="store_true")
@@ -79,6 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stu_iter", type=int, default=1)
     p.add_argument("--rotate_train", type=float, default=0.0)
     p.add_argument("--rotate_test", type=float, default=0.0)
+    p.add_argument("--results_rotate", action="store_true")
+    p.add_argument("--results_rotate_angle", type=float, default=5.0)
     p.add_argument("--syn", action="store_true")
     p.add_argument("--mixed", action="store_true")
     p.add_argument("--ic15sr", action="store_true")
@@ -149,6 +154,10 @@ def warn_dead_flags(cfg) -> None:
         # parsed into dataset constructors which compute-then-discard the
         # rotation (dataset.py:665-666) — no effect, matching the reference
         dead.append("--rotate_test")
+    if cfg.args.results_rotate:
+        # passes feature_arcs/rand_offs into the generator forward, which
+        # accepts and never uses them (model/tsrn.py:646, no reads)
+        dead.append("--results_rotate")
     for flag in dead:
         print(
             f"WARNING: {flag} is dead code in the reference and has no "

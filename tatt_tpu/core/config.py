@@ -97,6 +97,7 @@ class Flags:
     use_label: bool = False
     ssim_loss: bool = False
     tssim_loss: bool = False
+    fused_tssim: bool = False
     color_loss: bool = False
     sr_share: bool = False
     tpg_share: bool = False

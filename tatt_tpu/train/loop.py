@@ -147,6 +147,7 @@ class Trainer:
             gradient=cfg.args.gradient,
             ssim_loss=cfg.args.ssim_loss,
             tssim_loss=cfg.args.tssim_loss,
+            fused_tssim=getattr(cfg.args, "fused_tssim", False),
             mse_fuse=cfg.args.mse_fuse,
             rotate_train=cfg.args.rotate_train,
             training_stablize=cfg.args.training_stablize,

@@ -43,6 +43,7 @@ class StepConfig(NamedTuple):
     gradient: bool = True
     ssim_loss: bool = False
     tssim_loss: bool = True
+    fused_tssim: bool = False  # one 2B forward for sr+sr_ret (perf; BN joint)
     mse_fuse: bool = False
     rotate_train: float = 5.0
     training_stablize: bool = False
@@ -186,16 +187,37 @@ def make_train_step(
                     "params": sr_params[pick],
                     "batch_stats": new_sr_stats[pick],
                 }
+                main_input = (
+                    cascade_images if cfg.for_cascading else images_lr
+                )
+                fused_ret = cfg.tssim_loss and cfg.fused_tssim
+                if fused_ret:
+                    # perf option: run the tssim counter-rotated copy in
+                    # the SAME forward (batch 2B) — halves the sequential
+                    # GRU chains.  Deviation from the reference: BN batch
+                    # statistics are computed over both copies jointly
+                    # (they share image statistics up to the ±rotation).
+                    nb = main_input.shape[0]
+                    fwd_in = jnp.concatenate(
+                        [main_input, images_lr_ret], axis=0
+                    )
+                    fwd_prior = jnp.concatenate([prior, prior], axis=0)
+                else:
+                    fwd_in, fwd_prior = main_input, prior
                 (sr, aux), sr_mut = sr_apply(
                     sr_vars,
-                    (cascade_images if cfg.for_cascading else images_lr).astype(cdt),
-                    prior,
+                    fwd_in.astype(cdt),
+                    fwd_prior,
                     True,
                     rngs={"dropout": jax.random.fold_in(drop_rng, i)},
                     mutable=["batch_stats"],
                 )
                 new_sr_stats[pick] = sr_mut["batch_stats"]
                 sr = sr.astype(jnp.float32)
+                if fused_ret:
+                    sr, sr_ret_fused = sr[:nb], sr[nb:]
+                else:
+                    sr_ret_fused = None
                 cascade_images = sr
 
                 if cfg.use_label:
@@ -241,19 +263,24 @@ def make_train_step(
                     metrics["loss_ssim"] = s
 
                 if cfg.tssim_loss:
-                    (sr_ret, _), sr_mut2 = sr_apply(
-                        {
-                            "params": sr_params[pick],
-                            "batch_stats": new_sr_stats[pick],
-                        },
-                        images_lr_ret.astype(cdt),
-                        prior,
-                        True,
-                        rngs={"dropout": jax.random.fold_in(drop_rng, 100 + i)},
-                        mutable=["batch_stats"],
-                    )
-                    new_sr_stats[pick] = sr_mut2["batch_stats"]
-                    sr_ret = sr_ret.astype(jnp.float32)
+                    if fused_ret:
+                        sr_ret = sr_ret_fused
+                    else:
+                        (sr_ret, _), sr_mut2 = sr_apply(
+                            {
+                                "params": sr_params[pick],
+                                "batch_stats": new_sr_stats[pick],
+                            },
+                            images_lr_ret.astype(cdt),
+                            prior,
+                            True,
+                            rngs={
+                                "dropout": jax.random.fold_in(drop_rng, 100 + i)
+                            },
+                            mutable=["batch_stats"],
+                        )
+                        new_sr_stats[pick] = sr_mut2["batch_stats"]
+                        sr_ret = sr_ret.astype(jnp.float32)
                     if cfg.rotate_train:
                         sr_ret = rotate_batch(sr_ret, arc, rand_offs)
                     ts = (1.0 - tri_ssim(sr_ret, sr, images_hr)) * 10.0

@@ -200,3 +200,20 @@ def test_trainer_inits_copies_and_judge_guard():
     cfg2.MODEL.out_text_channels = 8
     with pytest.raises(ValueError, match="requires judge weights"):
         Trainer(cfg2, ds)
+
+
+def test_train_step_fused_tssim(batch):
+    """--fused_tssim runs sr + sr_ret in ONE 2B forward; loss stays
+    finite and parameters update."""
+    sr_apply, crnn_apply, state, teacher_vars = _tiny_setup()
+    cfg = StepConfig(
+        tssim_loss=True, fused_tssim=True, rotate_train=5.0, use_distill=True
+    )
+    step = jax.jit(make_train_step(sr_apply, crnn_apply, crnn_apply, cfg))
+    b = {k: jnp.asarray(v) for k, v in batch.items()}
+    new_state, metrics = step(state, teacher_vars, b, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_total"]))
+    assert np.isfinite(float(metrics["loss_tssim"]))
+    before = jax.tree_util.tree_leaves(state.sr_params)[0]
+    after = jax.tree_util.tree_leaves(new_state.sr_params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
