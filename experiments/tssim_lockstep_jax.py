@@ -135,6 +135,7 @@ def main(arm="tssim", dtype="float32", rot_method=None) -> None:
     )
     cfg = StepConfig(
         tssim_loss=(arm == "tssim"),
+        fused_tssim=os.environ.get("AB_FUSED", "0") == "1",
         rotate_train=5.0,
         use_distill=True,
         gradient=True,
