@@ -20,8 +20,10 @@ import time
 
 import numpy as np
 
+import os as _os
+
 A100_PYTORCH_IMAGES_PER_SEC = 215.0  # estimated reference throughput
-BATCH = 64
+BATCH = int(_os.environ.get("BENCH_BATCH", 64))
 STEPS = 100  # many chained steps amortize the host<->TPU relay latency
 WARMUP = 3
 
