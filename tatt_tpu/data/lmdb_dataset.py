@@ -44,22 +44,38 @@ class LmdbTextDataset:
         self.manmade_degrade = manmade_degrade
         self.cutblur = cutblur
         self.test = test
-        self._rng = _random.Random(seed)
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Called by the DataLoader each epoch so per-sample RNGs reshuffle."""
+        self._epoch = epoch
+
+    def _sample_rng(self, index: int):
+        # Per-sample RNG keyed on (seed, epoch, index): augmentation draws
+        # are independent of thread scheduling under num_workers>1 (the
+        # torch DataLoader seeds workers deterministically; a shared Random
+        # here would make runs nondeterministic).
+        import random as _random
+
+        return _random.Random(
+            (self.seed * 1_000_003 + self._epoch) * 1_000_003 + index
+        )
 
     def __len__(self) -> int:
         return self.n_samples
 
-    def _cutblur(self, img_hr, img_lr):
+    def _cutblur(self, img_hr, img_lr, rng):
         """CutBlur mix (``dataset.py:622-637``): with p=0.3 paste an
         HR-resolution slice into the LR crop."""
         import numpy as _np
 
-        if self._rng.random() <= 0.7:
+        if rng.random() <= 0.7:
             return img_lr
         hr = _np.array(img_hr.resize(img_lr.size))
         lr = _np.array(img_lr)
-        randx = int(lr.shape[1] * (0.2 + 0.8 * self._rng.random()))
-        if self._rng.random() <= 0.5:
+        randx = int(lr.shape[1] * (0.2 + 0.8 * rng.random()))
+        if rng.random() <= 0.5:
             lr[:, randx:] = hr[:, randx:]
         else:
             lr[:, :randx] = hr[:, :randx]
@@ -76,16 +92,17 @@ class LmdbTextDataset:
         label_buf = self.env.get(b"label-%09d" % idx)
         label = label_buf.decode("utf-8", "ignore") if label_buf else " "
         hr_buf = self.env.get(b"image_hr-%09d" % idx)
+        rng = self._sample_rng(index)
         try:
             img_hr = buf2pil(hr_buf)
             if self.manmade_degrade:
                 from tatt_tpu.data.degradation import manmade_degradation
 
-                img_lr = manmade_degradation(img_hr, self._rng)
+                img_lr = manmade_degradation(img_hr, rng)
             else:
                 img_lr = buf2pil(self.env.get(b"image_lr-%09d" % idx))
             if self.cutblur and not self.test:
-                img_lr = self._cutblur(img_hr, img_lr)
+                img_lr = self._cutblur(img_hr, img_lr, rng)
         except (TypeError, OSError):
             # corrupt record: skip forward like the reference
             return self[(index + 1) % self.n_samples]
@@ -131,21 +148,31 @@ class MixDataset:
     synthetic-LR samples)."""
 
     def __init__(self, real_dataset, synth_prob: float = 0.5, seed: int = 0):
-        import random as _random
-
         self.real = real_dataset
         self.synth_prob = synth_prob
-        self._rng = _random.Random(seed)
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+        if hasattr(self.real, "set_epoch"):
+            self.real.set_epoch(epoch)
 
     def __len__(self) -> int:
         return len(self.real)
 
     def __getitem__(self, index: int):
+        import random as _random
+
         from tatt_tpu.data.degradation import manmade_degradation
 
+        rng = _random.Random(
+            ((self.seed * 1_000_003 + self._epoch) * 1_000_003 + index)
+            ^ 0x6D6978  # distinct stream from the wrapped dataset's
+        )
         hr, lr, label = self.real[index]
-        if self._rng.random() < self.synth_prob:
-            lr = manmade_degradation(hr, self._rng).resize(lr.size)
+        if rng.random() < self.synth_prob:
+            lr = manmade_degradation(hr, rng).resize(lr.size)
         return hr, lr, label
 
 
@@ -160,6 +187,11 @@ class ConcatDataset:
         for d in self.datasets:
             total += len(d)
             self.cum.append(total)
+
+    def set_epoch(self, epoch: int) -> None:
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
 
     def __len__(self) -> int:
         return self.cum[-1]

@@ -58,41 +58,59 @@ class DataLoader:
             rng.shuffle(idx)
         return idx
 
-    def _build(self, sel: np.ndarray) -> Batch:
+    def _build(self, sel: np.ndarray, batch_idx: int, epoch: int) -> Batch:
         samples = [self.dataset[int(i)] for i in sel]
-        return collate(samples, **self.collate_kwargs)
+        kwargs = self.collate_kwargs
+        if "seed" not in kwargs:
+            # deterministic collate-side augmentation (syn blur ensemble)
+            # regardless of worker scheduling
+            kwargs = dict(
+                kwargs,
+                seed=(self.seed * 1_000_003 + epoch) * 1_000_003 + batch_idx,
+            )
+        return collate(samples, **kwargs)
 
     def __iter__(self) -> Iterator[Batch]:
         idx = self._indices()
+        if hasattr(self.dataset, "set_epoch"):
+            # per-sample augmentation RNGs are keyed on (seed, epoch, index)
+            # so multi-worker runs stay deterministic (the reference's torch
+            # DataLoader seeds its workers deterministically)
+            self.dataset.set_epoch(self._epoch)
+        epoch = self._epoch
         self._epoch += 1
         n_batches = len(self)
         selections = [
-            idx[b * self.batch_size : (b + 1) * self.batch_size]
+            (b, idx[b * self.batch_size : (b + 1) * self.batch_size])
             for b in range(n_batches)
         ]
-        selections = [s for s in selections if len(s)]
+        selections = [(b, s) for b, s in selections if len(s)]
 
-        if self.num_workers > 1:
+        if self.num_workers > 1 and self.prefetch > 0:
             # batch-granular thread pool: up to num_workers batches are
             # decoded+collated concurrently, yielded in order, with at most
-            # num_workers + prefetch batches in flight
+            # num_workers + prefetch batches in flight.  prefetch <= 0
+            # (strictly synchronous, no lookahead) falls through to the
+            # single-worker path below — a thread pool necessarily keeps
+            # batches in flight, which would violate that contract.
             with ThreadPoolExecutor(self.num_workers) as pool:
                 inflight: queue.Queue = queue.Queue()
-                depth = self.num_workers + max(self.prefetch, 0)
-                for sel in selections[:depth]:
-                    inflight.put(pool.submit(self._build, sel))
+                depth = self.num_workers + self.prefetch
+                for b, sel in selections[:depth]:
+                    inflight.put(pool.submit(self._build, sel, b, epoch))
                 consumed = min(depth, len(selections))
                 while not inflight.empty():
                     fut = inflight.get()
                     if consumed < len(selections):
-                        inflight.put(pool.submit(self._build, selections[consumed]))
+                        nb, nsel = selections[consumed]
+                        inflight.put(pool.submit(self._build, nsel, nb, epoch))
                         consumed += 1
                     yield fut.result()
             return
 
         def batches():
-            for sel in selections:
-                yield self._build(sel)
+            for b, sel in selections:
+                yield self._build(sel, b, epoch)
 
         if self.prefetch <= 0:
             yield from batches()

@@ -62,6 +62,11 @@ def ssim(
     rgb_only: bool = True,
 ) -> jnp.ndarray:
     """SSIM matching ``utils/ssim_psnr.py:76-96,202-227`` (first 3 channels)."""
+    # Upcast BEFORE forming products: a bf16 caller would square in bf16 and
+    # lose the low bits ahead of the f32 window conv — the same E[x^2]-E[x]^2
+    # cancellation the Precision.HIGHEST fix in _depthwise_filter targets.
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
     if rgb_only:
         img1, img2 = img1[:, :3], img2[:, :3]
     win = _gaussian_window(window_size, window_size)
@@ -87,6 +92,9 @@ def tri_ssim(
     """Three-way SSIM for rotation consistency (``utils/ssim_psnr.py:99-129``).
     NOTE: operates on ALL channels (the reference's TRI_SSIM does not slice
     to RGB — the commented lines at ``:240-241``)."""
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
+    img3 = img3.astype(jnp.float32)
     win = _gaussian_window(window_size, window_size)
     mu1, mu2, mu3 = (
         _depthwise_filter(img1, win),
@@ -112,7 +120,8 @@ def distorted_ssim(
 ) -> jnp.ndarray:
     """Mean of SSIMs with rect windows (5,11), (11,5), (11,11)
     (``utils/ssim_psnr.py:158-197``)."""
-    img1, img2 = img1[:, :3], img2[:, :3]
+    img1 = img1[:, :3].astype(jnp.float32)
+    img2 = img2[:, :3].astype(jnp.float32)
     total = 0.0
     for wh, ww in [(5, 11), (11, 5), (11, 11)]:
         win = _gaussian_window(wh, ww)

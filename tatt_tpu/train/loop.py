@@ -54,17 +54,34 @@ class Trainer:
         self.mesh = make_mesh(cfg.args.dp_devices)
         self.n_devices = len(self.mesh.devices.ravel())
 
+        from tatt_tpu.core.charset import CRNN_ALPHABET, voc_table
+
+        # Chinese runs (--CHNSR) swap the 37-class CRNN alphabet for the
+        # 3965-char table (main.py:140-142); the text-prior width follows
+        # (reference TSRN_TL text_emb default 3965, model/tsrn.py:331).
+        # Decode alphabet: blank + table, matching the reference's
+        # CTCLabelConverter shift (its head outputs len(character) classes,
+        # so the table's last char is unreachable — a reference quirk we
+        # inherit rather than silently widen).
+        if cfg.args.CHNSR:
+            chinese = voc_table("chinese")
+            num_class = len(chinese)  # 3965, = opt_TPG.num_class
+            cfg.MODEL.text_emb = num_class
+            self._alphabet = "-" + chinese
+        else:
+            num_class = cfg.MODEL.text_emb
+            self._alphabet = CRNN_ALPHABET
+
         self.sr_model = build_generator(cfg.args.arch, cfg)
         if cfg.args.tpg == "OPT":
             # NAVER TPG pipeline (Chinese path; main.py:127-144)
-            from tatt_tpu.core.charset import voc_table
             from tatt_tpu.models.recognizers.tpg import TPGModel, parse_opt_input
 
-            if cfg.args.CHNSR:
-                num_class = len(voc_table("chinese", "al_chinese.txt"))
-            else:
-                num_class = cfg.MODEL.text_emb
-            self.crnn = TPGModel(num_class=num_class)
+            self.crnn = (
+                TPGModel(num_class=num_class, output_channel=64, hidden_size=32)
+                if cfg.args.tiny_tpg
+                else TPGModel(num_class=num_class)
+            )
             self._parse_fn = parse_opt_input
             self._tpg_width = 512
         else:
@@ -147,7 +164,7 @@ class Trainer:
             gradient=cfg.args.gradient,
             ssim_loss=cfg.args.ssim_loss,
             tssim_loss=cfg.args.tssim_loss,
-            fused_tssim=getattr(cfg.args, "fused_tssim", False),
+            fused_tssim=getattr(cfg.args, "fused_tssim", True),
             mse_fuse=cfg.args.mse_fuse,
             rotate_train=cfg.args.rotate_train,
             training_stablize=cfg.args.training_stablize,
@@ -158,6 +175,26 @@ class Trainer:
             return self.sr_model.apply(
                 variables, lr, prior, train=train, rngs=rngs, mutable=mutable
             )
+
+        # fused-tssim runs sr and sr_ret in one 2B forward; a bn_copies=2
+        # clone of the model computes per-copy BN statistics so the numerics
+        # match the two-forward reference semantics.  Models without a
+        # bn_copies attribute (zoo _tl variants predating the fused path)
+        # and the 'reference' query-GRU compat mode (whose batch-axis scan
+        # is batch-size-dependent) fall back to two forwards.
+        sr_apply_fused = None
+        if (
+            self.step_cfg.fused_tssim
+            and self.step_cfg.tssim_loss
+            and hasattr(self.sr_model, "bn_copies")
+            and getattr(self.sr_model, "query_gru_mode", "width") != "reference"
+        ):
+            sr_model_fused = self.sr_model.clone(bn_copies=2)
+
+            def sr_apply_fused(variables, lr, prior, train, rngs=None, mutable=False):
+                return sr_model_fused.apply(
+                    variables, lr, prior, train=train, rngs=rngs, mutable=mutable
+                )
 
         def sr_apply_plain(variables, lr, train, rngs=None, mutable=False):
             out = self.sr_model.apply(
@@ -184,6 +221,7 @@ class Trainer:
                     crnn_apply,
                     self.step_cfg,
                     parse_fn=self._parse_fn,
+                    sr_apply_fused=sr_apply_fused,
                 ),
                 donate_argnums=0,
             )
@@ -241,18 +279,7 @@ class Trainer:
             )
         else:
             # CRNN judge without dedicated weights: use the teacher CRNN
-            judge_fwd = jax.jit(
-                lambda v, images: crnn_apply(
-                    v, self._parse_fn(images[:, :3]), False
-                )
-            )
-
-            def _crnn_judge(images):
-                return ctc_greedy_decode(
-                    np.asarray(judge_fwd(self.teacher_vars, images))
-                )
-
-            self._judge_fn = _crnn_judge
+            self._judge_fn = self._judge_crnn_fn()
 
         self.train_loader = DataLoader(
             train_dataset,
@@ -268,6 +295,7 @@ class Trainer:
                 mask=cfg.args.mask,
                 y_domain=cfg.args.y_domain,
                 syn=cfg.args.syn,
+                alphabet=self._alphabet,
             ),
         )
         self.val_datasets = val_datasets or {}
@@ -301,8 +329,43 @@ class Trainer:
                 self._writer = None
 
     # ------------------------------------------------------------------
+    def _judge_crnn_fn(self):
+        """CRNN recognizer fn over the teacher weights (the reference's
+        CRNN_init judge, ``interfaces/base.py:712-744``): images -> decoded
+        strings.  Used as the default judge and by ``--rec=crnn``."""
+
+        def crnn_apply(variables, luma_in):
+            return self.crnn.apply(variables, luma_in, train=False)
+
+        judge_fwd = jax.jit(
+            lambda v, images: crnn_apply(v, self._parse_fn(images[:, :3]))
+        )
+
+        def _crnn_judge(images):
+            return ctc_greedy_decode(
+                np.asarray(judge_fwd(self.teacher_vars, images)),
+                self._alphabet,
+            )
+
+        return _crnn_judge
+
+    # ------------------------------------------------------------------
     def resume(self, path: str) -> None:
         self.state, info = restore_checkpoint(path, self.state)
+        # the finetune stage resumes with a NEW lr (train_TATT.sh:2:
+        # --resume + lr 2e-4).  inject_hyperparams keeps the lr inside
+        # opt_state, so the restore above just resurrected the OLD lr —
+        # re-assert the configured one (Adam moments stay restored).
+        opt = self.state.opt_state
+        hp = getattr(opt, "hyperparams", None)
+        if hp is not None and "learning_rate" in hp:
+            new_hp = dict(hp)
+            new_hp["learning_rate"] = jnp.asarray(
+                self.cfg.lr, jnp.asarray(hp["learning_rate"]).dtype
+            )
+            self.state = self.state.replace(
+                opt_state=opt._replace(hyperparams=new_hp)
+            )
         self.converge_list = list(info.pop("_converge", []))
         self.best_history = dict(info.pop("_best_history", {}))
         if self.best_history:
@@ -426,6 +489,7 @@ class Trainer:
                 down_sample_scale=cfg.TRAIN.down_sample_scale,
                 mask=cfg.args.mask,
                 y_domain=cfg.args.y_domain,
+                alphabet=self._alphabet,
             ),
         )
         acc = EvalAccumulator()
@@ -471,6 +535,10 @@ class Trainer:
                 preds_lr,
                 preds_hr,
                 batch.label_strs,
+                # the accuracy protocol filters to lowercase+digits
+                # (super_resolution.py:1539); Chinese runs filter on the
+                # 3965-char table instead
+                filter_mode="chinese" if cfg.args.CHNSR else "lower",
                 psnr_lr=p_lr,
                 ssim_lr=s_lr,
                 lpips_sr=lpips_sr,

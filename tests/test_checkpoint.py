@@ -26,3 +26,62 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.tree_util.tree_leaves(state.sr_params)[0]
     b = jax.tree_util.tree_leaves(restored.sr_params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_finetune_resume_new_lr(tmp_path):
+    """The two-stage recipe (train_TATT.sh:1-2): stage 2 resumes the stage-1
+    checkpoint with lr 2e-4.  Must restore the step counter AND the Adam
+    moments while applying the NEW lr — inject_hyperparams keeps the lr
+    inside opt_state, so a naive restore resurrects the old one (the bug
+    Trainer.resume now guards against)."""
+    from tatt_tpu.core.config import Config
+    from tatt_tpu.data.synthetic import SyntheticTextDataset
+    from tatt_tpu.train.loop import Trainer
+
+    ds = SyntheticTextDataset(n=16)
+
+    def make_cfg(lr):
+        cfg = Config()
+        cfg.args.tiny_tpg = True
+        cfg.args.log_dir = ""
+        cfg.args.tssim_loss = False
+        cfg.args.rotate_train = 0.0
+        cfg.args.batch_size = 8  # divisible by the 8-device test mesh
+        cfg.TRAIN.batch_size = 8
+        cfg.TRAIN.VAL.valInterval = 0
+        cfg.TRAIN.saveInterval = 10_000
+        cfg.TRAIN.ckpt_dir = str(tmp_path)
+        cfg.MODEL.srb_nums = 1
+        cfg.MODEL.hidden_units = 4
+        cfg.MODEL.out_text_channels = 8
+        cfg.args.hd_u = 4
+        cfg.args.srb = 1
+        cfg.args.lr = lr  # cfg.lr reads args.lr (CLI --lr precedence)
+        return cfg
+
+    t1 = Trainer(make_cfg(1e-3), ds)
+    t1.train(max_iters=2)
+    path = os.path.join(tmp_path, "stage1.ckpt")
+    save_checkpoint(path, t1.state, info={"iters": 2})
+    saved_moments = jax.tree_util.tree_leaves(t1.state.opt_state.inner_state)
+
+    t2 = Trainer(make_cfg(2e-4), ds)
+    t2.resume(path)
+    # step counter and Adam moments survived
+    assert int(t2.state.step) == 2
+    restored_moments = jax.tree_util.tree_leaves(t2.state.opt_state.inner_state)
+    assert len(saved_moments) == len(restored_moments)
+    for a, b in zip(saved_moments, restored_moments):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # moments are real (some mu/nu leaf is nonzero), not re-initialized
+    assert any(
+        np.abs(np.asarray(leaf)).max() > 0
+        for leaf in restored_moments
+        if np.asarray(leaf).ndim > 0
+    )
+    # the NEW lr is in effect, not the checkpointed 1e-3
+    lr = float(np.asarray(t2.state.opt_state.hyperparams["learning_rate"]))
+    assert abs(lr - 2e-4) < 1e-9
+    # and training continues from the restored counter
+    t2.train(max_iters=3)
+    assert int(t2.state.step) == 3
