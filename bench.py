@@ -41,8 +41,14 @@ def main() -> None:
     from tatt_tpu.train.state import TrainState, make_optimizer
     from tatt_tpu.train.steps import StepConfig, make_train_step
 
+    import os
+
     rng = jax.random.PRNGKey(0)
-    sr_model = TATT(srb_nums=5, hidden_units=32, out_text_channels=64)
+    # stn=True: the canonical recipe trains with --STN (train_TATT.sh:1),
+    # so the headline number prices the graph the flagship actually runs.
+    # BENCH_STN=0 measures the STN-less ablation.
+    use_stn = os.environ.get("BENCH_STN", "1") == "1"
+    sr_model = TATT(srb_nums=5, hidden_units=32, out_text_channels=64, stn=use_stn)
     crnn = CRNN()  # full-size: nh=256, channels up to 512
 
     x = jnp.zeros((2, 4, 16, 64))
@@ -58,23 +64,34 @@ def main() -> None:
             variables, lr, prior, train=train, rngs=rngs, mutable=mutable
         )
 
+    # faithful fused path: bn_copies=2 clone computes per-copy BN stats
+    sr_model_fused = sr_model.clone(bn_copies=2)
+
+    def sr_apply_fused(variables, lr, prior, train, rngs=None, mutable=False):
+        return sr_model_fused.apply(
+            variables, lr, prior, train=train, rngs=rngs, mutable=mutable
+        )
+
     def crnn_apply(variables, luma_in, train, mutable=False):
         return crnn.apply(variables, luma_in, train=train, mutable=mutable)
 
     tx = make_optimizer(1e-3, beta1=0.5)
     state = TrainState.create([sr_vars], [stu_vars], tx)
-    import os
 
     cfg = StepConfig(
         tssim_loss=True,
         rotate_train=5.0,
         use_distill=True,
         compute_dtype="bfloat16",
-        # opt-in perf variant: sr + counter-rotated copy in one 2B forward
-        fused_tssim=os.environ.get("BENCH_FUSED_TSSIM") == "1",
+        # default-on since round 3: per-copy BN stats make the fused 2B
+        # forward numerically faithful to the two-forward reference path
+        fused_tssim=os.environ.get("BENCH_FUSED_TSSIM", "1") == "1",
     )
     step = jax.jit(
-        make_train_step(sr_apply, crnn_apply, crnn_apply, cfg), donate_argnums=0
+        make_train_step(
+            sr_apply, crnn_apply, crnn_apply, cfg, sr_apply_fused=sr_apply_fused
+        ),
+        donate_argnums=0,
     )
 
     ds = SyntheticTextDataset(n=BATCH)
@@ -106,7 +123,9 @@ def main() -> None:
         from tatt_tpu.train.observe import cost_analysis
 
         costs = cost_analysis(
-            make_train_step(sr_apply, crnn_apply, crnn_apply, cfg),
+            make_train_step(
+                sr_apply, crnn_apply, crnn_apply, cfg, sr_apply_fused=sr_apply_fused
+            ),
             state,
             teacher_vars,
             batch,
@@ -148,6 +167,11 @@ def main() -> None:
                 "vs_baseline": round(
                     images_per_sec / A100_PYTORCH_IMAGES_PER_SEC, 3
                 ),
+                # the reference publishes no throughput; 215 img/s A100 is
+                # our documented estimate (BENCH_NOTES.md), not a measurement
+                "baseline_is_estimate": True,
+                "stn": use_stn,
+                "fused_tssim": cfg.fused_tssim,
                 **extras,
             }
         )

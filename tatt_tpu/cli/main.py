@@ -69,9 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_label", action="store_true")
     p.add_argument("--ssim_loss", action="store_true")
     p.add_argument("--tssim_loss", action="store_true")
-    p.add_argument("--fused_tssim", action="store_true",
+    p.add_argument("--fused_tssim", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="run the tssim counter-rotated copy in the same "
-                        "forward (faster; BN stats computed jointly)")
+                        "forward (faster; BN stats computed per-copy, so "
+                        "numerics match the two-forward path — default on; "
+                        "--no-fused_tssim restores two forwards)")
     p.add_argument("--color_loss", action="store_true")
     p.add_argument("--sr_share", action="store_true")
     p.add_argument("--tpg_share", action="store_true")
@@ -288,6 +291,39 @@ def main(argv=None) -> int:
     if cfg.resume:
         trainer.resume(cfg.resume)
 
+    def build_rec_fn():
+        """Recognizer selected by --rec for test()/demo(), mirroring the
+        reference's per-rec construction (super_resolution.py:1702-1786,
+        1788-1876).  Same policy as the judges: a non-CRNN recognizer
+        REQUIRES its weights — silently substituting another model would
+        make the printed predictions non-comparable."""
+        rec = cfg.args.rec.lower()
+        if rec == "crnn":
+            return trainer._judge_crnn_fn()
+        from tatt_tpu.train.judge import make_judge
+
+        if rec == "aster":
+            rec_path = cli.rec_pretrained or cfg.TRAIN.VAL.rec_pretrained
+            if not rec_path or not os.path.exists(rec_path):
+                raise SystemExit(
+                    "--rec=aster requires ASTER weights: pass "
+                    "--rec_pretrained or set TRAIN.VAL.rec_pretrained"
+                )
+            from tatt_tpu.core.torch_import import import_aster
+
+            return make_judge("ASTER", import_aster(rec_path), cfg.TRAIN.voc_type)
+        if rec == "moran":
+            moran_path = cli.moran_pretrained or cfg.TRAIN.VAL.moran_pretrained
+            if not moran_path or not os.path.exists(moran_path):
+                raise SystemExit(
+                    "--rec=moran requires MORAN weights: pass "
+                    "--moran_pretrained or set TRAIN.VAL.moran_pretrained"
+                )
+            from tatt_tpu.core.torch_import import import_moran
+
+            return make_judge("MORAN", import_moran(moran_path), cfg.TRAIN.voc_type)
+        raise SystemExit(f"unknown --rec={cfg.args.rec}")
+
     if cfg.args.demo:
         import numpy as np
 
@@ -302,7 +338,7 @@ def main(argv=None) -> int:
         run_demo(
             cfg.args.demo_dir,
             sr_fn,
-            trainer._judge_fn,
+            build_rec_fn(),
             out_dir=os.path.join("demo_out", cfg.vis_dir),
             width=cfg.TRAIN.width,
             height=cfg.TRAIN.height,
@@ -310,6 +346,12 @@ def main(argv=None) -> int:
             mask=cfg.args.mask,
         )
         return 0
+
+    if cfg.args.test:
+        # reference test(): single recognizer chosen by --rec
+        # (super_resolution.py:1702-1786; we feed LR, not its HR-feeding
+        # bug at :1734)
+        trainer._judge_fn = build_rec_fn()
 
     if cfg.args.go_test or cfg.args.test:
         for name, ds in val_sets.items():

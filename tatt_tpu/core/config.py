@@ -74,6 +74,10 @@ class ModelConfig:
     tp_decoder_layers: int = 2
     tp_nhead: int = 4
     dropout: float = 0.1
+    # 'width' = intended query-GRU semantics; 'reference' = bit-faithful to
+    # the reference's batch_first quirk — REQUIRED when importing reference
+    # generator checkpoints (see TPInterpreter.query_gru_mode)
+    query_gru_mode: str = "width"
     stn_ctrlpoints: int = 20
     tps_margins: tuple[float, float] = (0.05, 0.05)
 
@@ -97,7 +101,7 @@ class Flags:
     use_label: bool = False
     ssim_loss: bool = False
     tssim_loss: bool = False
-    fused_tssim: bool = False
+    fused_tssim: bool = True
     color_loss: bool = False
     sr_share: bool = False
     tpg_share: bool = False

@@ -124,10 +124,19 @@ class ConvTranspose2d(nn.Module):
 
 
 class BatchNorm2d(nn.Module):
-    """NCHW BatchNorm over (N, H, W), torch eps/momentum defaults."""
+    """NCHW BatchNorm over (N, H, W), torch eps/momentum defaults.
+
+    ``copies > 1``: the batch axis packs ``copies`` independent logical
+    batches of equal size (the fused-tssim 2B forward concatenates the main
+    and counter-rotated copies).  Batch statistics are then computed
+    PER-COPY — each copy is normalized exactly as it would be by its own
+    separate forward, and the running averages fold the per-copy stats
+    sequentially in concat order, matching the reference's two consecutive
+    forwards (``super_resolution.py:873,910-914``)."""
 
     momentum: float = 0.9  # = 1 - torch momentum(0.1)
     epsilon: float = 1e-5
+    copies: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -143,6 +152,30 @@ class BatchNorm2d(nn.Module):
 
         if train:
             x32 = x.astype(jnp.float32)
+            if self.copies > 1:
+                k = self.copies
+                nb = x.shape[0] // k
+                assert nb * k == x.shape[0], (
+                    f"batch {x.shape[0]} not divisible by copies={k}"
+                )
+                xg = x32.reshape(k, nb, c, x.shape[2], x.shape[3])
+                mean_g = xg.mean(axis=(1, 3, 4))  # [k, C]
+                var_g = xg.var(axis=(1, 3, 4))  # [k, C]
+                if not self.is_initializing():
+                    n = nb * x.shape[2] * x.shape[3]
+                    unb = var_g * n / max(n - 1, 1)
+                    rm, rv = ra_mean.value, ra_var.value
+                    for i in range(k):
+                        rm = self.momentum * rm + (1 - self.momentum) * mean_g[i]
+                        rv = self.momentum * rv + (1 - self.momentum) * unb[i]
+                    ra_mean.value, ra_var.value = rm, rv
+                # broadcast per-copy stats back over the packed batch axis
+                mean = jnp.repeat(mean_g, nb, axis=0)[:, :, None, None]
+                var = jnp.repeat(var_g, nb, axis=0)[:, :, None, None]
+                inv = jax.lax.rsqrt(var + self.epsilon) * scale[None, :, None, None]
+                return (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + bias[
+                    None, :, None, None
+                ].astype(x.dtype)
             mean = x32.mean(axis=(0, 2, 3))
             var = x32.var(axis=(0, 2, 3))
             if not self.is_initializing():
@@ -166,10 +199,11 @@ class BatchNorm2d(nn.Module):
 
 class BatchNorm1d(nn.Module):
     """BatchNorm over the batch dim of [N, C] (STN head fc,
-    ``model/stn_head.py:51``)."""
+    ``model/stn_head.py:51``).  ``copies``: see BatchNorm2d."""
 
     momentum: float = 0.9
     epsilon: float = 1e-5
+    copies: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -184,6 +218,27 @@ class BatchNorm1d(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
         if train:
             x32 = x.astype(jnp.float32)
+            if self.copies > 1:
+                k = self.copies
+                nb = x.shape[0] // k
+                assert nb * k == x.shape[0], (
+                    f"batch {x.shape[0]} not divisible by copies={k}"
+                )
+                xg = x32.reshape(k, nb, c)
+                mean_g, var_g = xg.mean(axis=1), xg.var(axis=1)
+                if not self.is_initializing():
+                    unb = var_g * nb / max(nb - 1, 1)
+                    rm, rv = ra_mean.value, ra_var.value
+                    for i in range(k):
+                        rm = self.momentum * rm + (1 - self.momentum) * mean_g[i]
+                        rv = self.momentum * rv + (1 - self.momentum) * unb[i]
+                    ra_mean.value, ra_var.value = rm, rv
+                mean = jnp.repeat(mean_g, nb, axis=0)
+                var = jnp.repeat(var_g, nb, axis=0)
+                inv = jax.lax.rsqrt(var + self.epsilon) * scale[None]
+                return (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + bias[
+                    None
+                ].astype(x.dtype)
             mean, var = x32.mean(axis=0), x32.var(axis=0)
             if not self.is_initializing():
                 n = x.shape[0]

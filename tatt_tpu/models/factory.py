@@ -92,9 +92,11 @@ def _tatt(cfg: Config):
         srb_nums=cfg.args.srb,
         mask=cfg.args.mask,
         hidden_units=cfg.args.hd_u,
+        text_emb=cfg.MODEL.text_emb,
         # the TP decoder uses stem features as queries, so the prior width
         # must equal 2*hidden_units (64 at reference defaults)
         out_text_channels=2 * cfg.args.hd_u,
+        query_gru_mode=getattr(cfg.MODEL, "query_gru_mode", "width"),
     )
 
 

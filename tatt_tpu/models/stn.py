@@ -116,6 +116,7 @@ class STNHead(nn.Module):
     num_ctrlpoints: int = 20
     activation: str = "none"
     variant: str = "generator"
+    bn_copies: int = 1  # per-copy BN stats for the fused-tssim 2B forward
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -126,14 +127,14 @@ class STNHead(nn.Module):
             pools = [(2, 2), (2, 2), (2, 2), (2, 2), (1, 2), None]
         for i, (c, pool) in enumerate(zip(chans, pools)):
             x = Conv2d(c, (3, 3), padding=(1, 1), name=f"conv{i}")(x)
-            x = BatchNorm2d(name=f"bn{i}")(x, train)
+            x = BatchNorm2d(copies=self.bn_copies, name=f"bn{i}")(x, train)
             x = jnp.maximum(x, 0.0)
             if pool is not None:
                 x = max_pool_nchw(x, pool, pool)
         n = x.shape[0]
         x = x.reshape(n, -1)
         x = Dense(512, name="fc1")(x)
-        x = BatchNorm1d(name="fc1_bn")(x, train)
+        x = BatchNorm1d(copies=self.bn_copies, name="fc1_bn")(x, train)
         x = jnp.maximum(x, 0.0)
 
         ctrl_init = build_output_control_points(

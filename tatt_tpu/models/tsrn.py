@@ -77,16 +77,17 @@ class RecurrentResidualBlockTL(nn.Module):
 
     channels: int
     text_channels: int
+    bn_copies: int = 1
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, text_emb: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
         r = Conv2d(self.channels, name="conv1")(x)
-        r = BatchNorm2d(name="bn1")(r, train)
+        r = BatchNorm2d(copies=self.bn_copies, name="bn1")(r, train)
         r = mish(r)
         r = Conv2d(self.channels, name="conv2")(r)
-        r = BatchNorm2d(name="bn2")(r, train)
+        r = BatchNorm2d(copies=self.bn_copies, name="bn2")(r, train)
         cat = jnp.concatenate([r, text_emb.astype(r.dtype)], axis=1)
         r = GruBlock(self.channels, name="gru1")(cat.transpose(0, 1, 3, 2)).transpose(
             0, 1, 3, 2
@@ -111,6 +112,7 @@ class InfoGen(nn.Module):
     convs lift [B, t_emb, 1, 26] to a spatial map (resized by caller)."""
 
     out_channels: int
+    bn_copies: int = 1
 
     @nn.compact
     def __call__(self, t: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -125,7 +127,7 @@ class InfoGen(nn.Module):
             x = ConvTranspose2d(
                 c, (3, 3), strides=s, padding=p, use_bias=False, name=f"tconv{i+1}"
             )(x)
-            x = BatchNorm2d(name=f"bn{i+1}")(x, train)
+            x = BatchNorm2d(copies=self.bn_copies, name=f"bn{i+1}")(x, train)
             x = jnp.maximum(x, 0.0)
         return x
 
@@ -178,6 +180,7 @@ class TSRN_TL(nn.Module):
     hidden_units: int = 32
     text_emb: int = 37
     out_text_channels: int = 64
+    bn_copies: int = 1
 
     @nn.compact
     def __call__(
@@ -189,23 +192,28 @@ class TSRN_TL(nn.Module):
         ch = 2 * self.hidden_units
         in_planes = 4 if self.mask else 3
         if self.stn and train:
-            ctrl = STNHead(name="stn_head")(x, train)
+            ctrl = STNHead(bn_copies=self.bn_copies, name="stn_head")(x, train)
             x = tps_transform(
                 x, ctrl, (self.height // self.scale_factor, self.width // self.scale_factor)
             )
         b1 = PReLU(name="block1_act")(
             Conv2d(ch, (9, 9), padding=(4, 4), name="block1_conv")(x)
         )
-        tp_raw = InfoGen(self.out_text_channels, name="infoGen")(text_emb, train)
+        tp_raw = InfoGen(
+            self.out_text_channels, bn_copies=self.bn_copies, name="infoGen"
+        )(text_emb, train)
         tp_map = resize_bilinear(tp_raw, x.shape[2], x.shape[3], align_corners=True)
 
         h = b1
         for i in range(self.srb_nums):
-            h = RecurrentResidualBlockTL(ch, self.out_text_channels, name=f"srb{i+2}")(
-                h, tp_map, train
-            )
+            h = RecurrentResidualBlockTL(
+                ch,
+                self.out_text_channels,
+                bn_copies=self.bn_copies,
+                name=f"srb{i+2}",
+            )(h, tp_map, train)
         h = Conv2d(ch, name="post_conv")(h)
-        h = BatchNorm2d(name="post_bn")(h, train)
+        h = BatchNorm2d(copies=self.bn_copies, name="post_bn")(h, train)
         h = b1 + h
         for i in range(int(math.log2(self.scale_factor))):
             h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
@@ -247,6 +255,7 @@ class TSRN_TL_SFT(nn.Module):
     hidden_units: int = 32
     text_emb: int = 37
     out_text_channels: int = 64
+    bn_copies: int = 1
 
     @nn.compact
     def __call__(
@@ -255,7 +264,7 @@ class TSRN_TL_SFT(nn.Module):
         ch = 2 * self.hidden_units
         in_planes = 4 if self.mask else 3
         if self.stn and train:
-            ctrl = STNHead(name="stn_head")(x, train)
+            ctrl = STNHead(bn_copies=self.bn_copies, name="stn_head")(x, train)
             x = tps_transform(
                 x,
                 ctrl,
@@ -264,16 +273,21 @@ class TSRN_TL_SFT(nn.Module):
         b1 = PReLU(name="block1_act")(
             Conv2d(ch, (9, 9), padding=(4, 4), name="block1_conv")(x)
         )
-        tp_raw = InfoGen(self.out_text_channels, name="infoGen")(text_emb, train)
+        tp_raw = InfoGen(
+            self.out_text_channels, bn_copies=self.bn_copies, name="infoGen"
+        )(text_emb, train)
         tp = resize_bilinear(tp_raw, x.shape[2], x.shape[3], align_corners=True)
         tp = SFTLayer(name="sft_layer")(b1, tp.astype(b1.dtype))
         h = b1
         for i in range(self.srb_nums):
-            h = RecurrentResidualBlockTL(ch, self.out_text_channels, name=f"srb{i+2}")(
-                h, tp, train
-            )
+            h = RecurrentResidualBlockTL(
+                ch,
+                self.out_text_channels,
+                bn_copies=self.bn_copies,
+                name=f"srb{i+2}",
+            )(h, tp, train)
         h = Conv2d(ch, name="post_conv")(h)
-        h = BatchNorm2d(name="post_bn")(h, train)
+        h = BatchNorm2d(copies=self.bn_copies, name="post_bn")(h, train)
         h = b1 + h
         for i in range(int(math.log2(self.scale_factor))):
             h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
@@ -439,6 +453,9 @@ class TATT(nn.Module):
     out_text_channels: int = 64
     dropout: float = 0.1
     query_gru_mode: str = "width"  # see TPInterpreter
+    # >1: the batch packs bn_copies logical batches (fused-tssim 2B forward)
+    # and every BatchNorm computes per-copy statistics — see BatchNorm2d.
+    bn_copies: int = 1
 
     @nn.compact
     def __call__(
@@ -463,7 +480,7 @@ class TATT(nn.Module):
 
         # STN rectification runs only during training (tsrn.py:648-650)
         if self.stn and train:
-            ctrl = STNHead(name="stn_head")(x, train)
+            ctrl = STNHead(bn_copies=self.bn_copies, name="stn_head")(x, train)
             x = tps_transform(x, ctrl, (lr_h, lr_w))
 
         if text_emb is None:
@@ -484,11 +501,14 @@ class TATT(nn.Module):
 
         h = b1
         for i in range(self.srb_nums):
-            h = RecurrentResidualBlockTL(ch, self.out_text_channels, name=f"srb{i+2}")(
-                h, tp_map, train
-            )
+            h = RecurrentResidualBlockTL(
+                ch,
+                self.out_text_channels,
+                bn_copies=self.bn_copies,
+                name=f"srb{i+2}",
+            )(h, tp_map, train)
         h = Conv2d(ch, name="post_conv")(h)
-        h = BatchNorm2d(name="post_bn")(h, train)
+        h = BatchNorm2d(copies=self.bn_copies, name="post_bn")(h, train)
         h = b1 + h
         for i in range(int(math.log2(self.scale_factor))):
             h = UpsampleBlock(ch, 2, name=f"up{i}")(h)

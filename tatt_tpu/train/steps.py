@@ -43,7 +43,11 @@ class StepConfig(NamedTuple):
     gradient: bool = True
     ssim_loss: bool = False
     tssim_loss: bool = True
-    fused_tssim: bool = False  # one 2B forward for sr+sr_ret (perf; BN joint)
+    # one 2B forward computes sr+sr_ret together (halves the sequential GRU
+    # chain count).  Faithful to the two-forward reference semantics: BN
+    # statistics are computed per-copy (see BatchNorm2d.copies), so this is
+    # the default.  Requires sr_apply_fused (a bn_copies=2 model instance).
+    fused_tssim: bool = True
     mse_fuse: bool = False
     rotate_train: float = 5.0
     training_stablize: bool = False
@@ -68,6 +72,7 @@ def make_train_step(
     teacher_apply: Callable,
     cfg: StepConfig,
     parse_fn: Callable = parse_crnn_input,
+    sr_apply_fused: Optional[Callable] = None,
 ):
     """Builds the jitted train step.
 
@@ -75,7 +80,11 @@ def make_train_step(
     generator; ``student_apply/teacher_apply(variables, luma, train, ...)``
     — recognizer forwards returning [T, B, C] logits; ``parse_fn`` is the
     recognizer input adapter (``parse_crnn_data`` or ``parse_OPT_data``
-    for ``--tpg OPT``)."""
+    for ``--tpg OPT``).  ``sr_apply_fused``: same signature, but a model
+    instance with ``bn_copies=2`` (per-copy BN stats over the packed 2B
+    batch); required when ``cfg.fused_tssim`` — without it the step falls
+    back to the two-forward path."""
+    use_fused = cfg.tssim_loss and cfg.fused_tssim and sr_apply_fused is not None
 
     def step_fn(state: TrainState, teacher_vars, batch: dict, rng: jax.Array):
         if cfg.y_domain:
@@ -190,32 +199,47 @@ def make_train_step(
                 main_input = (
                     cascade_images if cfg.for_cascading else images_lr
                 )
-                fused_ret = cfg.tssim_loss and cfg.fused_tssim
+                fused_ret = use_fused
                 if fused_ret:
-                    # perf option: run the tssim counter-rotated copy in
-                    # the SAME forward (batch 2B) — halves the sequential
-                    # GRU chains.  Deviation from the reference: BN batch
-                    # statistics are computed over both copies jointly
-                    # (they share image statistics up to the ±rotation).
+                    # run the tssim counter-rotated copy in the SAME forward
+                    # (batch 2B) — halves the sequential GRU chain count.
+                    # sr_apply_fused's BatchNorms compute per-copy batch
+                    # statistics, so this is numerically the reference's two
+                    # consecutive forwards (super_resolution.py:873,910-914)
+                    # up to independent dropout draws.
                     nb = main_input.shape[0]
                     fwd_in = jnp.concatenate(
                         [main_input, images_lr_ret], axis=0
                     )
                     fwd_prior = jnp.concatenate([prior, prior], axis=0)
+                    (sr, aux), sr_mut = sr_apply_fused(
+                        sr_vars,
+                        fwd_in.astype(cdt),
+                        fwd_prior,
+                        True,
+                        rngs={"dropout": jax.random.fold_in(drop_rng, i)},
+                        mutable=["batch_stats"],
+                    )
                 else:
-                    fwd_in, fwd_prior = main_input, prior
-                (sr, aux), sr_mut = sr_apply(
-                    sr_vars,
-                    fwd_in.astype(cdt),
-                    fwd_prior,
-                    True,
-                    rngs={"dropout": jax.random.fold_in(drop_rng, i)},
-                    mutable=["batch_stats"],
-                )
+                    (sr, aux), sr_mut = sr_apply(
+                        sr_vars,
+                        main_input.astype(cdt),
+                        prior,
+                        True,
+                        rngs={"dropout": jax.random.fold_in(drop_rng, i)},
+                        mutable=["batch_stats"],
+                    )
                 new_sr_stats[pick] = sr_mut["batch_stats"]
                 sr = sr.astype(jnp.float32)
                 if fused_ret:
                     sr, sr_ret_fused = sr[:nb], sr[nb:]
+                    # aux features also pack both copies — keep the main
+                    # copy only, so learning_STN's rectification-consistency
+                    # loss sees exactly the unfused tensors
+                    aux = {
+                        k: (v[:nb] if hasattr(v, "shape") and v.shape and v.shape[0] == 2 * nb else v)
+                        for k, v in aux.items()
+                    }
                 else:
                     sr_ret_fused = None
                 cascade_images = sr
@@ -241,7 +265,11 @@ def make_train_step(
                 if cfg.use_distill:
                     d = semantic_loss(label_vecs, label_vecs_hr) * 100.0
                     loss_distill = loss_distill + d
-                    metrics["loss_distill"] = d
+                    # tb-scalar parity: the reference's SummaryWriter logs the
+                    # LAST iteration's term (super_resolution.py:1025), while
+                    # its console print logs the accumulated sum (:1107);
+                    # loss_distill (set after the loop) carries the sum.
+                    metrics["loss_distill_each"] = d
 
                 imq = image_loss(sr, images_hr, gradient=cfg.gradient)
                 if cfg.training_stablize:
@@ -288,6 +316,8 @@ def make_train_step(
                     metrics["loss_tssim"] = ts
 
             total = loss_img + loss_distill
+            if cfg.use_distill or cfg.use_label:
+                metrics["loss_distill"] = loss_distill
             metrics["loss_total"] = total
             metrics["sr_mean"] = sr[:, :3].mean()
             metrics["sr_min"] = sr[:, :3].min()

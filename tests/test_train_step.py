@@ -202,14 +202,55 @@ def test_trainer_inits_copies_and_judge_guard():
         Trainer(cfg2, ds)
 
 
+def _fused_setup(stn: bool, dropout: float, tx=None):
+    """TATT + bn_copies=2 clone sharing one set of params."""
+    rng = jax.random.PRNGKey(0)
+    sr_model = TATT(
+        srb_nums=1, hidden_units=4, out_text_channels=8, stn=stn, dropout=dropout
+    )
+    sr_model_fused = sr_model.clone(bn_copies=2)
+    crnn = CRNN(**TINY_CRNN)
+    x = jnp.zeros((2, 4, 16, 64))
+    t = jnp.zeros((2, 37, 1, 26))
+    luma = jnp.zeros((2, 1, 32, 100))
+    k1, k2, k3 = jax.random.split(rng, 3)
+    sr_vars = sr_model.init(k1, x, t, train=True)
+    stu_vars = crnn.init(k2, luma)
+    teacher_vars = crnn.init(k3, luma)
+
+    def sr_apply(variables, lr, prior, train, rngs=None, mutable=False):
+        return sr_model.apply(
+            variables, lr, prior, train=train, rngs=rngs, mutable=mutable
+        )
+
+    def sr_apply_fused(variables, lr, prior, train, rngs=None, mutable=False):
+        return sr_model_fused.apply(
+            variables, lr, prior, train=train, rngs=rngs, mutable=mutable
+        )
+
+    def crnn_apply(variables, luma_in, train, mutable=False):
+        return crnn.apply(variables, luma_in, train=train, mutable=mutable)
+
+    state = TrainState.create(
+        [sr_vars], [stu_vars], tx or make_optimizer(1e-3, 0.5)
+    )
+    return sr_apply, sr_apply_fused, crnn_apply, state, teacher_vars
+
+
 def test_train_step_fused_tssim(batch):
-    """--fused_tssim runs sr + sr_ret in ONE 2B forward; loss stays
-    finite and parameters update."""
-    sr_apply, crnn_apply, state, teacher_vars = _tiny_setup()
+    """--fused_tssim runs sr + sr_ret in ONE 2B forward (per-copy BN);
+    loss stays finite and parameters update."""
+    sr_apply, sr_apply_fused, crnn_apply, state, teacher_vars = _fused_setup(
+        stn=True, dropout=0.1
+    )
     cfg = StepConfig(
         tssim_loss=True, fused_tssim=True, rotate_train=5.0, use_distill=True
     )
-    step = jax.jit(make_train_step(sr_apply, crnn_apply, crnn_apply, cfg))
+    step = jax.jit(
+        make_train_step(
+            sr_apply, crnn_apply, crnn_apply, cfg, sr_apply_fused=sr_apply_fused
+        )
+    )
     b = {k: jnp.asarray(v) for k, v in batch.items()}
     new_state, metrics = step(state, teacher_vars, b, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss_total"]))
@@ -217,3 +258,67 @@ def test_train_step_fused_tssim(batch):
     before = jax.tree_util.tree_leaves(state.sr_params)[0]
     after = jax.tree_util.tree_leaves(new_state.sr_params)[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_fused_tssim_lockstep_matches_two_forward(batch):
+    """The faithful-fused claim: with per-copy BN stats, the single 2B
+    forward produces the SAME loss, gradients (via updated params), and
+    running batch stats as the reference-shaped two-forward path.  Dropout
+    is disabled (the two paths draw masks independently by design —
+    matching the reference's fresh per-forward draws).  SGD optimizer: its
+    update is proportional to the gradient, so parameter comparison
+    measures gradient agreement directly (Adam's first step is
+    ~lr*sign(g), which turns reduction-order noise on zero-gradient
+    params into full +-lr flips)."""
+    import optax
+
+    b = {k: jnp.asarray(v) for k, v in batch.items()}
+    results = {}
+    for fused in (False, True):
+        sr_apply, sr_apply_fused, crnn_apply, state, teacher_vars = _fused_setup(
+            stn=True, dropout=0.0, tx=optax.sgd(1e-2)
+        )
+        cfg = StepConfig(
+            tssim_loss=True,
+            fused_tssim=fused,
+            rotate_train=5.0,
+            use_distill=True,
+            learning_STN=True,
+        )
+        step = jax.jit(
+            make_train_step(
+                sr_apply,
+                crnn_apply,
+                crnn_apply,
+                cfg,
+                sr_apply_fused=sr_apply_fused if fused else None,
+            )
+        )
+        new_state, metrics = step(state, teacher_vars, b, jax.random.PRNGKey(5))
+        results[fused] = (new_state, metrics)
+
+    s0, m0 = results[False]
+    s1, m1 = results[True]
+    for key in ("loss_total", "loss_tssim", "loss_sr", "loss_distill"):
+        assert np.allclose(
+            float(m0[key]), float(m1[key]), rtol=1e-5, atol=1e-6
+        ), f"{key}: {float(m0[key])} vs {float(m1[key])}"
+    assert np.allclose(
+        float(m0["grad_norm_sr"]), float(m1["grad_norm_sr"]), rtol=1e-4
+    ), f"grad_norm_sr: {float(m0['grad_norm_sr'])} vs {float(m1['grad_norm_sr'])}"
+    # updated params equal => gradients equal
+    for a, c in zip(
+        jax.tree_util.tree_leaves(s0.sr_params),
+        jax.tree_util.tree_leaves(s1.sr_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-6
+        )
+    # running BN stats equal => per-copy stats + sequential fold are right
+    for a, c in zip(
+        jax.tree_util.tree_leaves(s0.sr_batch_stats),
+        jax.tree_util.tree_leaves(s1.sr_batch_stats),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-6
+        )
