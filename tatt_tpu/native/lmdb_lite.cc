@@ -95,9 +95,10 @@ struct Env {
   int fd = -1;
   const uint8_t* map = nullptr;
   size_t size = 0;
+  size_t psize = kPageSize;  // from mm_dbs[0].md_pad (see ll_open)
   Db main{};
 
-  const uint8_t* page(uint64_t pgno) const { return map + pgno * kPageSize; }
+  const uint8_t* page(uint64_t pgno) const { return map + pgno * psize; }
 };
 
 struct NodeView {
@@ -174,6 +175,23 @@ void* ll_open(const char* path) {
   env->fd = fd;
   env->map = static_cast<const uint8_t*>(map);
   env->size = st.st_size;
+
+  // Stock liblmdb records the writing system's page size in
+  // mm_dbs[0].md_pad (mdb_env_init_meta / mdb_env_read_header); honor it
+  // so archives from 8K/16K-page systems parse, and probe meta page 1 at
+  // the offset implied by meta page 0 (falling back to our default when
+  // meta 0 is torn).
+  const Meta* m0 = reinterpret_cast<const Meta*>(env->map + kPageHdr);
+  size_t psize = kPageSize;
+  if (m0->magic == kMagic && m0->version == kVersion && m0->dbs[0].pad >= 512)
+    psize = m0->dbs[0].pad;
+  if (st.st_size < (off_t)(2 * psize)) {
+    munmap(const_cast<uint8_t*>(env->map), env->size);
+    ::close(fd);
+    delete env;
+    return nullptr;
+  }
+  env->psize = psize;
 
   const Meta* best = nullptr;
   for (int i = 0; i < 2; i++) {
@@ -450,6 +468,9 @@ long long ll_write(const char* path, const uint8_t* const* keys,
     meta->address = 0;
     meta->mapsize = std::max<uint64_t>(b.pages.size() * kPageSize, 1 << 20);
     meta->dbs[0].flags = 0;
+    // stock liblmdb reads the page size from here (mm_dbs[0].md_pad,
+    // mdb_env_read_header) — without it our files are MDB_INVALID to it
+    meta->dbs[0].pad = kPageSize;
     meta->dbs[0].root = P_INVALID;
     meta->dbs[1].root = P_INVALID;
     meta->last_pg = b.pages.size() - 1;
