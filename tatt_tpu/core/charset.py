@@ -33,9 +33,20 @@ def voc_table(voc_type: str, chinese_path: str | None = None) -> str:
         "all": string.digits + string.ascii_letters + string.punctuation,
     }
     if voc_type == "chinese":
-        if chinese_path is None:
-            raise ValueError("chinese voc_type needs an alphabet file path")
-        with open(chinese_path) as fh:
+        # the 3965-char alphabet ships as package data (the reference keeps
+        # ``al_chinese.txt`` at its repo root and opens it CWD-relative,
+        # ``main.py:140-142`` / ``dataset.py:1660-1667``); resolve missing /
+        # relative paths against the package so any CWD works
+        import os
+
+        packaged = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data",
+            "al_chinese.txt",
+        )
+        if chinese_path is None or not os.path.exists(chinese_path):
+            chinese_path = packaged
+        with open(chinese_path, encoding="utf-8") as fh:
             return fh.readlines()[0].replace("\n", "")
     return tables[voc_type]
 

@@ -19,13 +19,16 @@ def render_sample(
     rng: random.Random,
     hr_size: tuple[int, int] = (128, 32),
     lr_size: tuple[int, int] = (64, 16),
+    charset: str | None = None,
 ) -> tuple[Image.Image, Image.Image, str]:
-    """Returns (img_HR, img_lr, label)."""
+    """Returns (img_HR, img_lr, label).  ``charset`` defaults to
+    lowercase+digits; a Chinese charset yields Chinese labels (PIL's
+    built-in bitmap font cannot draw CJK glyphs, so the pixels then carry
+    an ASCII placeholder — fixture images exercise shapes/metrics, not
+    OCR legibility)."""
     w, h = hr_size
-    label = "".join(
-        rng.choice(string.ascii_lowercase + string.digits)
-        for _ in range(rng.randint(2, 8))
-    )
+    charset = charset or (string.ascii_lowercase + string.digits)
+    label = "".join(rng.choice(charset) for _ in range(rng.randint(2, 8)))
     bg = rng.randint(120, 255)
     fg = rng.randint(0, 100)
     noise = np.clip(
@@ -36,7 +39,12 @@ def render_sample(
     ).astype(np.uint8)
     img = Image.fromarray(noise)
     draw = ImageDraw.Draw(img)
-    draw.text((rng.randint(2, 12), rng.randint(0, 8)), label, fill=(fg, fg, fg))
+    drawable = (
+        label
+        if all(ord(ch) < 256 for ch in label)
+        else "".join(rng.choice(string.ascii_lowercase) for _ in label)
+    )
+    draw.text((rng.randint(2, 12), rng.randint(0, 8)), drawable, fill=(fg, fg, fg))
     lr = img.filter(ImageFilter.GaussianBlur(radius=rng.uniform(0.8, 1.6))).resize(
         lr_size, Image.BICUBIC
     )
@@ -54,11 +62,13 @@ class SyntheticTextDataset:
         hr_size: tuple[int, int] = (128, 32),
         lr_size: tuple[int, int] = (64, 16),
         cache: bool = True,
+        charset: str | None = None,
     ):
         self.n = n
         self.seed = seed
         self.hr_size = hr_size
         self.lr_size = lr_size
+        self.charset = charset
         # rendering costs ~2 ms/sample on a 1-CPU host; samples are
         # deterministic per index, so memoize across epochs
         self._cache: dict[int, tuple] | None = {} if cache else None
@@ -70,7 +80,7 @@ class SyntheticTextDataset:
         if self._cache is not None and i in self._cache:
             return self._cache[i]
         rng = random.Random(self.seed * 1_000_003 + i)
-        sample = render_sample(rng, self.hr_size, self.lr_size)
+        sample = render_sample(rng, self.hr_size, self.lr_size, self.charset)
         if self._cache is not None:
             self._cache[i] = sample
         return sample
