@@ -5,8 +5,9 @@ Rebuilds the reference's manmade-degradation chain
 -> Gaussian/bilateral noise reduction -> unsharp sharpening; plus the
 random blur ensemble the train collate applies to pseudo-LR images
 (``dataset.py:1636-1649``, imgaug).  imgaug is unavailable here, so the
-ensemble uses cv2 equivalents; MeanShiftBlur and Superpixels are
-approximated by pyrMeanShiftFiltering / block-average quantization.
+ensemble re-implements each augmenter's semantics directly: MeanShiftBlur
+is cv2.pyrMeanShiftFiltering with imgaug's sampled radii, Superpixels is a
+from-scratch SLIC segmentation + per-segment p_replace averaging.
 """
 
 from __future__ import annotations
@@ -99,19 +100,69 @@ def _motion_blur(img: np.ndarray, k: int, rng) -> np.ndarray:
     return cv2.filter2D(img, -1, kernel)
 
 
-def _superpixel_like(img: np.ndarray, n_segments: int, p_replace: float, rng) -> np.ndarray:
-    """Approximate imgaug.Superpixels: average color over a coarse grid."""
+def slic_segments(
+    img: np.ndarray, n_segments: int, compactness: float = 10.0, n_iter: int = 10
+) -> np.ndarray:
+    """SLIC superpixel segmentation (Achanta et al. 2012) — the algorithm
+    behind ``skimage.segmentation.slic``, which ``iaa.Superpixels`` wraps
+    (``dataset.py:1646``): localized k-means over (L,a,b,y,x) features with
+    the distance ``d_lab + (compactness/S) * d_xy``.  Returns an int32
+    label map [H, W]."""
     h, w = img.shape[:2]
-    grid = max(int(np.sqrt(n_segments)), 1)
+    n_segments = max(int(n_segments), 1)
+    lab = cv2.cvtColor(
+        np.ascontiguousarray(img, np.uint8), cv2.COLOR_RGB2LAB
+    ).astype(np.float32)
+
+    step = max(int(np.sqrt(h * w / n_segments)), 1)
+    ys = np.arange(step // 2, h, step)
+    xs = np.arange(step // 2, w, step)
+    if ys.size == 0:
+        ys = np.array([h // 2])
+    if xs.size == 0:
+        xs = np.array([w // 2])
+    centers = np.array(
+        [[lab[y, x, 0], lab[y, x, 1], lab[y, x, 2], y, x] for y in ys for x in xs],
+        np.float32,
+    )
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    ratio = (compactness / step) ** 2
+    labels = np.zeros((h, w), np.int32)
+    for _ in range(n_iter):
+        dist = np.full((h, w), np.inf, np.float32)
+        for ci, c in enumerate(centers):
+            y0, y1 = max(int(c[3]) - step, 0), min(int(c[3]) + step + 1, h)
+            x0, x1 = max(int(c[4]) - step, 0), min(int(c[4]) + step + 1, w)
+            if y0 >= y1 or x0 >= x1:
+                continue
+            patch = lab[y0:y1, x0:x1]
+            d_lab = ((patch - c[:3]) ** 2).sum(axis=-1)
+            d_xy = (yy[y0:y1, x0:x1] - c[3]) ** 2 + (xx[y0:y1, x0:x1] - c[4]) ** 2
+            d = d_lab + ratio * d_xy
+            win = dist[y0:y1, x0:x1]
+            better = d < win
+            win[better] = d[better]
+            labels[y0:y1, x0:x1][better] = ci
+        for ci in range(len(centers)):
+            m = labels == ci
+            if m.any():
+                centers[ci, :3] = lab[m].mean(axis=0)
+                centers[ci, 3] = yy[m].mean()
+                centers[ci, 4] = xx[m].mean()
+    return labels
+
+
+def _superpixels(img: np.ndarray, n_segments: int, p_replace: float, rng) -> np.ndarray:
+    """``iaa.Superpixels(p_replace, n_segments)`` semantics: SLIC segment,
+    then replace each segment by its average color with per-segment
+    probability ``p_replace``."""
+    labels = slic_segments(img, n_segments)
     out = img.copy()
-    ys = np.linspace(0, h, grid + 1, dtype=int)
-    xs = np.linspace(0, w, grid + 1, dtype=int)
-    for i in range(grid):
-        for j in range(grid):
-            if rng.random() < p_replace:
-                cell = out[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
-                if cell.size:
-                    cell[:] = cell.mean(axis=(0, 1), keepdims=True)
+    for ci in np.unique(labels):
+        if rng.random() < p_replace:
+            m = labels == ci
+            out[m] = img[m].mean(axis=0).astype(img.dtype)
     return out
 
 
@@ -140,10 +191,14 @@ def blur_ensemble(img: Image.Image, rng: random.Random | None = None, p: float =
         return _motion_blur(a, 3, rng)
 
     def meanshift(a):
-        return cv2.pyrMeanShiftFiltering(a, sp=5, sr=20)
+        # iaa.MeanShiftBlur wraps cv2.pyrMeanShiftFiltering with radii
+        # drawn uniformly from (5.0, 40.0) each
+        return cv2.pyrMeanShiftFiltering(
+            a, sp=rng.uniform(5.0, 40.0), sr=rng.uniform(5.0, 40.0)
+        )
 
     def superpixels(a):
-        return _superpixel_like(a, rng.randint(1, 7), rng.uniform(0.1, 0.5), rng)
+        return _superpixels(a, rng.randint(1, 7), rng.uniform(0.1, 0.5), rng)
 
     augs = [gaussian, average, median, bilateral, motion, meanshift, superpixels]
     rng.shuffle(augs)
