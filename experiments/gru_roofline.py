@@ -35,10 +35,13 @@ MXU_TILE = 128
 #   srb gru2: seq over W=64, rows = B*H = 1024, hidden 32, input 64
 #   query GRU: seq over W=64, rows = 1, hidden 512, input 1024
 # x5 SRBs for gru1/gru2; x2 for the fused-tssim 2B forward.
+# impl: the dispatch heuristic in kernels/rnn.py — the query GRU's
+# degenerate [1, 64, 1024] shape stays on the XLA scan (lanes would pad
+# catastrophically in the pallas layout).
 CONFIGS = [
-    ("srb_gru1", 4096, 16, 32, 128, 5),
-    ("srb_gru2", 1024, 64, 32, 64, 5),
-    ("query_gru", 1, 64, 512, 1024, 1),
+    ("srb_gru1", 4096, 16, 32, 128, 5, "pallas"),
+    ("srb_gru2", 1024, 64, 32, 64, 5, "pallas"),
+    ("query_gru", 1, 64, 512, 1024, 1, "scan"),
 ]
 
 BATCH = 64
@@ -57,8 +60,13 @@ def mxu_cycles(m: int, k: int, n: int) -> float:
 
 
 def chain_floor_us(length: int, hid: int, rows: int, n_matmuls: int) -> float:
-    """Serial-chain floor: length steps x n_matmuls dependent [3H,H]@[H,R]
-    (fwd: 1; bwd: gate recompute + dW accumulation + dh backprop = 3)."""
+    """Serial-chain floor: length steps x n_matmuls chain-dependent
+    [3H,H]@[H,R] matmuls.  fwd: 1 (the hidden-gate matmul).  bwd: also 1 —
+    the only matmul on the serial dh chain is the W^T @ d_gh backprop; the
+    gate recompute reads ys (saved), and dW/db/dgx are off-chain.  This is
+    the PESSIMISTIC per-tile model (K padded to 128 cycles); the MXU may
+    stream K=32 faster, so measured times modestly below this floor are
+    possible and indicate the kernel adds no overhead beyond the MXU."""
     cyc = mxu_cycles(3 * hid, hid, rows) * n_matmuls * length
     return cyc / MXU_CLOCK_HZ * 1e6
 
@@ -69,46 +77,80 @@ def sync(x):
     np.asarray(jnp.sum(x).astype(jnp.float32))
 
 
-def time_fn(fn, *args, iters=30):
-    out = fn(*args)
-    sync(out if not isinstance(out, tuple) else out[0])
-    t0 = time.perf_counter()
-    outs = []
-    for _ in range(iters):
-        outs.append(fn(*args))
-    o = outs[-1]
-    sync(o if not isinstance(o, tuple) else o[0])
-    return (time.perf_counter() - t0) / iters * 1e6  # us
+def time_chain(fn, x, *weights, n_lo=4, n_hi=64):
+    """Per-call device time via in-jit amplification: ONE dispatch runs the
+    kernel n times inside a fori_loop whose carry feeds the next call (so
+    steps serialize on the device), and the slope between two loop counts
+    cancels dispatch/relay constants.  The carry perturbation uses a tiny
+    scale (not 0.0) so the loop body can't be simplified away."""
+
+    def loop(n):
+        @jax.jit
+        def run(xc):
+            def body(_, c):
+                out = fn(c, *weights)
+                lead = out[0] if isinstance(out, tuple) else out
+                eps = (jnp.sum(lead).astype(jnp.float32) * 1e-30).astype(
+                    c.dtype
+                )
+                return c + eps
+
+            return jax.lax.fori_loop(0, n, body, xc)
+
+        return run
+
+    run_lo, run_hi = loop(n_lo), loop(n_hi)
+    sync(run_lo(x))
+    sync(run_hi(x))
+
+    def measure(run, reps=8):
+        best = float("inf")
+        for _ in range(3):  # best-of-3 medians out relay jitter
+            t0 = time.perf_counter()
+            xc = x
+            for _ in range(reps):
+                xc = run(xc)
+            sync(xc)
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best
+
+    t_lo, t_hi = measure(run_lo), measure(run_hi)
+    return (t_hi - t_lo) / (n_hi - n_lo) * 1e6  # us per call
 
 
 def main() -> None:
     from tatt_tpu.kernels.pallas_gru import bigru_pallas
+    from tatt_tpu.kernels.rnn import bigru_apply
 
     rng = np.random.default_rng(0)
     results = {}
     total_fwd = total_bwd = total_floor_fwd = total_floor_bwd = 0.0
 
-    for name, rows, length, hid, xin, count in CONFIGS:
+    for name, rows, length, hid, xin, count, impl in CONFIGS:
         x = jnp.asarray(rng.standard_normal((rows, length, xin)), DTYPE)
         w_ih = jnp.asarray(rng.standard_normal((2, 3 * hid, xin)) * 0.05, DTYPE)
         w_hh = jnp.asarray(rng.standard_normal((2, 3 * hid, hid)) * 0.05, DTYPE)
         b_ih = jnp.zeros((2, 3 * hid), DTYPE)
         b_hh = jnp.zeros((2, 3 * hid), DTYPE)
 
-        fwd = jax.jit(lambda *a: bigru_pallas(*a))
+        run = bigru_pallas if impl == "pallas" else bigru_apply
 
-        def loss(*a):
-            return jnp.sum(bigru_pallas(*a).astype(jnp.float32))
+        def loss(*a, _r=run):
+            return jnp.sum(_r(*a).astype(jnp.float32))
 
-        grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+        grad = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
 
-        t_fwd = time_fn(fwd, x, w_ih, w_hh, b_ih, b_hh)
-        t_both = time_fn(grad, x, w_ih, w_hh, b_ih, b_hh)
+        print(f"timing {name} fwd...", flush=True)
+        t_fwd = time_chain(run, x, w_ih, w_hh, b_ih, b_hh)
+        print(f"timing {name} fwd+bwd...", flush=True)
+        t_both = time_chain(grad, x, w_ih, w_hh, b_ih, b_hh)
+        print(f"{name}: fwd {t_fwd:.0f}us fwd+bwd {t_both:.0f}us", flush=True)
 
         fl_fwd = chain_floor_us(length, hid, rows, 1)
-        fl_bwd = chain_floor_us(length, hid, rows, 3)
+        fl_bwd = chain_floor_us(length, hid, rows, 1)
         results[name] = {
             "rows": rows, "length": length, "hidden": hid, "count": count,
+            "impl": impl,
             "fwd_us": round(t_fwd, 1),
             "fwd_bwd_us": round(t_both, 1),
             "floor_fwd_us": round(fl_fwd, 1),
@@ -122,69 +164,12 @@ def main() -> None:
         total_floor_fwd += fl_fwd * count
         total_floor_bwd += (fl_fwd + fl_bwd) * count
 
-    # whole-step context: one fused-tssim train step at the bench config
-    step_us = None
-    try:
-        import os
-
-        os.environ.setdefault("BENCH_BATCH", str(BATCH))
-        from tatt_tpu.data.collate import collate
-        from tatt_tpu.data.synthetic import SyntheticTextDataset
-        from tatt_tpu.models.recognizers.crnn import CRNN
-        from tatt_tpu.models.tsrn import TATT
-        from tatt_tpu.train.state import TrainState, make_optimizer
-        from tatt_tpu.train.steps import StepConfig, make_train_step
-
-        sr_model = TATT(srb_nums=5, hidden_units=32, out_text_channels=64, stn=True)
-        sr_fused = sr_model.clone(bn_copies=2)
-        crnn = CRNN()
-        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
-        sr_vars = sr_model.init(
-            k1, jnp.zeros((2, 4, 16, 64)), jnp.zeros((2, 37, 1, 26)), train=True
-        )
-        stu = crnn.init(k2, jnp.zeros((2, 1, 32, 100)))
-        teach = crnn.init(k3, jnp.zeros((2, 1, 32, 100)))
-        state = TrainState.create([sr_vars], [stu], make_optimizer(1e-3, 0.5))
-        cfg = StepConfig(
-            tssim_loss=True, rotate_train=5.0, use_distill=True,
-            compute_dtype="bfloat16", fused_tssim=True,
-        )
-        step = jax.jit(
-            make_train_step(
-                lambda v, lr, p, t, rngs=None, mutable=False: sr_model.apply(
-                    v, lr, p, train=t, rngs=rngs, mutable=mutable
-                ),
-                lambda v, lu, t, mutable=False: crnn.apply(
-                    v, lu, train=t, mutable=mutable
-                ),
-                lambda v, lu, t, mutable=False: crnn.apply(
-                    v, lu, train=t, mutable=mutable
-                ),
-                cfg,
-                sr_apply_fused=lambda v, lr, p, t, rngs=None, mutable=False: sr_fused.apply(
-                    v, lr, p, train=t, rngs=rngs, mutable=mutable
-                ),
-            )
-        )
-        ds = SyntheticTextDataset(n=BATCH)
-        batch = {
-            k: jnp.asarray(v)
-            for k, v in collate([ds[i] for i in range(BATCH)]).device_arrays().items()
-        }
-        state, m = step(state, teach, batch, jax.random.PRNGKey(0))
-        float(m["loss_total"])
-        t0 = time.perf_counter()
-        n = 20
-        for i in range(n):
-            state, m = step(state, teach, batch, jax.random.PRNGKey(i))
-        float(m["loss_total"])
-        step_us = (time.perf_counter() - t0) / n * 1e6
-    except Exception as exc:  # keep the kernel numbers even if this fails
-        print("step timing failed:", exc)
-
-    # fused-tssim doubles rows through the SRB GRUs (2B batch), so scale
-    # the per-forward chain costs x~2 for the srb entries when comparing
-    # against the fused step; report both plain and fused-share estimates.
+    # Whole-step context comes from bench.py (100 chained steps, host-fetch
+    # barrier — the only step-timing method that survives the relay; the
+    # in-process variants measured seconds/step of transport artifacts).
+    # The fused-tssim forward doubles the SRB GRU rows (2B batch), which
+    # roughly doubles those kernels' time: scale srb entries x2 for the
+    # fused-step share.
     report = {
         "per_kernel": results,
         "chain_total_fwd_us": round(total_fwd, 1),
@@ -192,11 +177,8 @@ def main() -> None:
         "chain_floor_fwd_us": round(total_floor_fwd, 1),
         "chain_floor_fwd_bwd_us": round(total_floor_bwd, 1),
         "kernel_vs_floor": round(total_bwd / total_floor_bwd, 2),
-        "train_step_us": round(step_us, 1) if step_us else None,
-        "gru_share_of_step": (
-            round(total_bwd / step_us, 3) if step_us else None
-        ),
-        "mxu_model": "ceil(M/128)*ceil(K/128)*ceil(N/128)*128 cyc @ 940MHz",
+        "mxu_model": "ceil(M/128)*ceil(K/128)*ceil(N/128)*128 cyc @ 940MHz"
+        " (pessimistic: K<128 may stream faster)",
     }
     print(json.dumps(report, indent=2))
 

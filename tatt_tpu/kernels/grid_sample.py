@@ -61,6 +61,57 @@ def grid_sample_bilinear(
     return top * (1 - ty) + bot * ty
 
 
+def grid_sample_bilinear_mxu(
+    x: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = False
+) -> jnp.ndarray:
+    """Exact bilinear grid sampling as two dense einsums (MXU) instead of
+    a 4-tap gather (slow on TPU).  For every output pixel p the bilinear
+    weight over input column xi is the tent ``max(0, 1-|ix_p - xi|)`` and
+    separably over row yi — so
+
+        tmp[n,c,p,yi] = sum_xi kx[n,p,xi] * x[n,c,yi,xi]
+        out[n,c,p]    = sum_yi ky[n,p,yi] * tmp[n,c,p,yi]
+
+    Taps outside the image contribute nothing, which is exactly torch's
+    ``padding_mode='zeros'``; values match :func:`grid_sample_bilinear`
+    to f32 rounding.  Cost is O(P*(W+H)) MACs per channel — ~1 GFLOP for
+    the TPS warp at batch 128, trivially MXU-bound."""
+    n, c, h, w = x.shape
+    ho, wo = grid.shape[1], grid.shape[2]
+    dt = x.dtype
+    gx = grid[..., 0].reshape(n, ho * wo)
+    gy = grid[..., 1].reshape(n, ho * wo)
+    if align_corners:
+        ix = (gx + 1.0) * 0.5 * (w - 1)
+        iy = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        ix = ((gx + 1.0) * w - 1.0) * 0.5
+        iy = ((gy + 1.0) * h - 1.0) * 0.5
+    xs = jnp.arange(w, dtype=ix.dtype)
+    ys = jnp.arange(h, dtype=iy.dtype)
+    kx = jnp.maximum(0.0, 1.0 - jnp.abs(ix[:, :, None] - xs)).astype(dt)
+    ky = jnp.maximum(0.0, 1.0 - jnp.abs(iy[:, :, None] - ys)).astype(dt)
+    tmp = jnp.einsum("ncyx,npx->ncpy", x, kx)
+    out = jnp.einsum("ncpy,npy->ncp", tmp, ky)
+    return out.reshape(n, c, ho, wo)
+
+
+def grid_sample(
+    x: jnp.ndarray,
+    grid: jnp.ndarray,
+    align_corners: bool = False,
+    method: str = "auto",
+) -> jnp.ndarray:
+    """Dispatching grid sample: 'gather' (4-tap), 'mxu' (einsum), or
+    'auto' — einsum on accelerators, gather on CPU (where scalar gathers
+    are cheap and the dense weights are not)."""
+    if method == "auto":
+        method = "gather" if jax.default_backend() == "cpu" else "mxu"
+    if method == "mxu":
+        return grid_sample_bilinear_mxu(x, grid, align_corners)
+    return grid_sample_bilinear(x, grid, align_corners)
+
+
 def affine_grid(
     theta: jnp.ndarray, size: tuple[int, int, int, int], align_corners: bool = False
 ) -> jnp.ndarray:

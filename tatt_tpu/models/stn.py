@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from tatt_tpu.kernels.grid_sample import grid_sample_bilinear
+from tatt_tpu.kernels.grid_sample import grid_sample
 from tatt_tpu.models.common import (
     BatchNorm1d,
     BatchNorm2d,
@@ -100,7 +100,11 @@ def tps_transform(
     )  # [N, HW, 2] in [0, 1]
     grid = source_coord.reshape(n, th, tw, 2)
     grid = jnp.clip(grid, 0.0, 1.0) * 2.0 - 1.0
-    return grid_sample_bilinear(images, grid)
+    # method='gather': the separable-einsum sampler is numerically exact
+    # and MXU-friendly (see grid_sample_bilinear_mxu), but as of this
+    # round the TPU compiler takes unbounded time on the warp's backward
+    # when embedded in the train graph — probe before flipping.
+    return grid_sample(images, grid, method="gather")
 
 
 class STNHead(nn.Module):

@@ -110,3 +110,22 @@ def test_rotate_shear_close_to_gather():
     diff = np.abs(got - want)[:, :, 4:-4, 8:-8]
     assert diff.mean() < 0.01, diff.mean()
     assert np.quantile(diff, 0.99) < 0.06
+
+
+def test_grid_sample_mxu_matches_gather():
+    """The separable-einsum sampler is EXACT bilinear: it must match the
+    4-tap gather to f32 rounding for arbitrary grids, including
+    out-of-bounds taps (zero padding) and both align_corners modes."""
+    from tatt_tpu.kernels.grid_sample import (
+        grid_sample_bilinear,
+        grid_sample_bilinear_mxu,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.random((3, 4, 16, 64)).astype(np.float32)
+    # grid spills past the image on purpose (|g| up to 1.3)
+    grid = (rng.random((3, 10, 40, 2)).astype(np.float32) * 2.6) - 1.3
+    for ac in (False, True):
+        want = np.asarray(grid_sample_bilinear(x, grid, align_corners=ac))
+        got = np.asarray(grid_sample_bilinear_mxu(x, grid, align_corners=ac))
+        np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
