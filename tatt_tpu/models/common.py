@@ -169,7 +169,11 @@ class BatchNorm2d(nn.Module):
                         rm = self.momentum * rm + (1 - self.momentum) * mean_g[i]
                         rv = self.momentum * rv + (1 - self.momentum) * unb[i]
                     ra_mean.value, ra_var.value = rm, rv
-                # broadcast per-copy stats back over the packed batch axis
+                # broadcast per-copy stats over the packed batch and
+                # normalize in the original [2B, C, H, W] layout.  (Doing
+                # the elementwise on the reshaped [k, nb, ...] view instead
+                # measured 12% SLOWER end-to-end on v5e: the reshape forces
+                # relayouts through every BN's fwd+bwd.)
                 mean = jnp.repeat(mean_g, nb, axis=0)[:, :, None, None]
                 var = jnp.repeat(var_g, nb, axis=0)[:, :, None, None]
                 inv = jax.lax.rsqrt(var + self.epsilon) * scale[None, :, None, None]
