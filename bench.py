@@ -79,9 +79,10 @@ def main() -> None:
     state = TrainState.create([sr_vars], [stu_vars], tx)
 
     cfg = StepConfig(
-        tssim_loss=True,
-        rotate_train=5.0,
-        use_distill=True,
+        # ablation knobs for time attribution (BENCH_NOTES round 3)
+        tssim_loss=os.environ.get("BENCH_TSSIM", "1") == "1",
+        rotate_train=5.0 if os.environ.get("BENCH_ROTATE", "1") == "1" else 0.0,
+        use_distill=os.environ.get("BENCH_DISTILL", "1") == "1",
         compute_dtype="bfloat16",
         # default-on since round 3: per-copy BN stats make the fused 2B
         # forward numerically faithful to the two-forward reference path

@@ -91,8 +91,11 @@ def grid_sample_bilinear_mxu(
     ys = jnp.arange(h, dtype=iy.dtype)
     kx = jnp.maximum(0.0, 1.0 - jnp.abs(ix[:, :, None] - xs)).astype(dt)
     ky = jnp.maximum(0.0, 1.0 - jnp.abs(iy[:, :, None] - ys)).astype(dt)
+    # batched GEMM over n: [C*H, W] @ [W, P]
     tmp = jnp.einsum("ncyx,npx->ncpy", x, kx)
-    out = jnp.einsum("ncpy,npy->ncp", tmp, ky)
+    # row reduction as a VPU multiply-add — expressing this as an einsum
+    # ("ncpy,npy->ncp") makes XLA lower n*p tiny matvecs
+    out = (tmp * ky[:, None, :, :]).sum(axis=-1)
     return out.reshape(n, c, ho, wo)
 
 
