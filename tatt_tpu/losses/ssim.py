@@ -31,6 +31,13 @@ def _gaussian_window(window_h: int, window_w: int, sigma: float = 1.5) -> np.nda
 def _depthwise_filter(img: jnp.ndarray, window: np.ndarray) -> jnp.ndarray:
     """Depthwise 'same' conv of NCHW with a single 2-D window.
 
+    The reference's window (``utils/ssim_psnr.py:33-39``) is the outer
+    product of two 1-D Gaussians, so the conv is SEPARABLE: two 1-D
+    passes (kh + kw taps) replace the kh*kw-tap 2-D conv — 5.5x less VPU
+    work for the 11x11 window.  Zero 'same' padding commutes with the
+    separable factorization, so this is the same linear map as the 2-D
+    conv up to f32 rounding.
+
     ``Precision.HIGHEST`` is load-bearing: on TPU, f32 convs default to
     bf16 MXU passes, and the SSIM variances ``E[x^2] - E[x]^2`` then
     catastrophically cancel for near-saturated images (|x| ~ 1, true
@@ -42,16 +49,27 @@ def _depthwise_filter(img: jnp.ndarray, window: np.ndarray) -> jnp.ndarray:
     c = img.shape[1]
     kh, kw = window.shape
     img = img.astype(jnp.float32)
-    kernel = jnp.asarray(window, jnp.float32)[None, None].repeat(c, axis=0)
-    return jax.lax.conv_general_dilated(
-        img,
-        kernel,
-        window_strides=(1, 1),
-        padding=[(kh // 2,) * 2, (kw // 2,) * 2],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    # factor the rank-1 window back into its 1-D components
+    win = np.asarray(window, np.float64)
+    u, s, vt = np.linalg.svd(win)
+    col = (u[:, 0] * np.sqrt(s[0])).astype(np.float32)  # [kh]
+    row = (vt[0] * np.sqrt(s[0])).astype(np.float32)  # [kw]
+    if col.sum() < 0:  # svd sign ambiguity; gaussians are positive
+        col, row = -col, -row
+
+    def dw(x, k, kh_, kw_):
+        kernel = jnp.asarray(k, jnp.float32).reshape(1, 1, kh_, kw_)
+        return jax.lax.conv_general_dilated(
+            x,
+            jnp.repeat(kernel, c, axis=0),
+            window_strides=(1, 1),
+            padding=[(kh_ // 2,) * 2, (kw_ // 2,) * 2],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    return dw(dw(img, row, 1, kw), col, kh, 1)
 
 
 def ssim(
