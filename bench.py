@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
@@ -99,6 +100,30 @@ def main() -> None:
     batch = collate([ds[i] for i in range(BATCH)]).device_arrays()
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
+    # BENCH_SCAN=K > 1: run K steps inside ONE jitted lax.scan, STEPS/K
+    # outer dispatches.  Isolates pure device time from per-dispatch
+    # overhead (the axon relay adds latency per executable invocation
+    # that a directly-attached host does not pay).  The per-step numbers
+    # are the canonical protocol; the scan number bounds the device.
+    scan_k = int(os.environ.get("BENCH_SCAN", "1"))
+    if scan_k > 1:
+        inner = make_train_step(
+            sr_apply, crnn_apply, crnn_apply, cfg, sr_apply_fused=sr_apply_fused
+        )
+
+        @partial(jax.jit, donate_argnums=0)
+        def step(state, teacher_vars, batch, rng):
+            def body(s, r):
+                s2, m = inner(s, teacher_vars, batch, r)
+                return s2, m["loss_total"]
+
+            new_state, losses = jax.lax.scan(
+                body, state, jax.random.split(rng, scan_k)
+            )
+            return new_state, {"loss_total": losses[-1]}
+
+    n_calls = STEPS // scan_k
+
     # NOTE: on this remote-attached TPU, block_until_ready returns at
     # dispatch; a host fetch of a scalar is the only true barrier.
     for i in range(WARMUP):
@@ -106,15 +131,16 @@ def main() -> None:
     float(metrics["loss_total"])
 
     t0 = time.perf_counter()
-    for i in range(STEPS):
+    for i in range(n_calls):
         state, metrics = step(
             state, teacher_vars, batch, jax.random.PRNGKey(WARMUP + i)
         )
     loss = float(metrics["loss_total"])  # forces completion of the chain
     dt = time.perf_counter() - t0
     assert loss == loss, "non-finite loss in benchmark"
+    STEPS_RUN = n_calls * scan_k
 
-    images_per_sec = BATCH * STEPS / dt
+    images_per_sec = BATCH * STEPS_RUN / dt
 
     # ---- honest accounting extras (VERDICT r1 #6) ----
     # measured FLOPs/step from XLA's cost analysis of the exact compiled
@@ -134,7 +160,7 @@ def main() -> None:
         )
         flops = costs.get("flops", 0.0)
         if flops > 0:
-            sec_per_step = dt / STEPS
+            sec_per_step = dt / STEPS_RUN
             peak = 197e12  # TPU v5e bf16 peak FLOP/s per chip
             extras["flops_per_step"] = round(flops, 0)
             extras["mfu"] = round(flops / sec_per_step / peak, 4)
@@ -173,6 +199,7 @@ def main() -> None:
                 "baseline_is_estimate": True,
                 "stn": use_stn,
                 "fused_tssim": cfg.fused_tssim,
+                **({"scan_k": scan_k} if scan_k > 1 else {}),
                 **extras,
             }
         )

@@ -271,6 +271,92 @@ def main() -> None:
     if sel("image_loss_fwd_bwd"):
         record("image_loss_fwd_bwd", time_fn(img_fwd_bwd, sr_img))
 
+    # --- generator submodules in isolation (fused batch 2B=128) ---
+    # names the kernel the next optimization should target: each is
+    # fwd+bwd wrt (params, input) on the shapes the fused step runs
+    from flax import linen as nn
+
+    from tatt_tpu.models.common import Conv2d, PReLU, pixel_shuffle
+    from tatt_tpu.models.stn import STNHead, tps_transform
+    from tatt_tpu.models.tp_interpreter import TPInterpreter
+    from tatt_tpu.models.tsrn import RecurrentResidualBlockTL, UpsampleBlock
+
+    B2 = 2 * BATCH
+    rr = np.random.default_rng(1)
+    x_in = jnp.asarray(rr.random((B2, 4, 16, 64)), CDT)  # model input
+    b1_feat = jnp.asarray(rr.random((B2, 64, 16, 64)), CDT)  # stem features
+    up_feat = jnp.asarray(rr.random((B2, 64, 32, 128)), CDT)  # post-upsample
+    prior2b = jnp.asarray(rr.random((B2, 37, 1, 26)), CDT)
+
+    def timed_module(name, mod, *args, train_kw=True):
+        if not sel(name):
+            return
+        init_args = tuple(
+            a[:2] if hasattr(a, "shape") else a for a in args
+        )
+        variables = mod.init(
+            jax.random.PRNGKey(0), *init_args,
+            **({"train": True} if train_kw else {}),
+        )
+
+        def loss(params, a0):
+            out = mod.apply(
+                {"params": params, **{
+                    k: v for k, v in variables.items() if k != "params"
+                }},
+                a0, *args[1:],
+                **({"train": True} if train_kw else {}),
+                mutable=[k for k in variables if k != "params"],
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )[0]
+            lead = out[0] if isinstance(out, tuple) else out
+            return jnp.sum(lead.astype(jnp.float32) ** 2)
+
+        def fwd_bwd(a0):
+            return jax.grad(loss, argnums=(0, 1))(variables["params"], a0)
+
+        record(name, time_fn(fwd_bwd, args[0]))
+
+    class _Block1(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            return PReLU(name="act")(
+                Conv2d(64, (9, 9), padding=(4, 4), name="conv")(x)
+            )
+
+    class _Final(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            return jnp.tanh(Conv2d(4, (9, 9), padding=(4, 4), name="conv")(x))
+
+    class _STN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            ctrl = STNHead(bn_copies=2, name="stn_head")(x, train)
+            return tps_transform(x, ctrl, (16, 64))
+
+    timed_module("sub_block1", _Block1(), x_in)
+    timed_module("sub_final", _Final(), up_feat)
+    timed_module("sub_up", UpsampleBlock(64, 2), b1_feat, train_kw=False)
+    timed_module(
+        "sub_srb",
+        RecurrentResidualBlockTL(64, 64, bn_copies=2),
+        b1_feat,
+        b1_feat,  # text map has the same shape as the features
+    )
+    timed_module(
+        "sub_tp",
+        TPInterpreter(
+            text_emb=37, d_model=64, output_size=(16, 64), dropout=0.1,
+            query_gru_mode="width",
+        ),
+        b1_feat,
+        prior2b,
+        False,  # deterministic
+        train_kw=False,
+    )
+    timed_module("sub_stn", _STN(), x_in)
+
     # --- adam update over the full param tree ---
     tx = make_optimizer(1e-3, beta1=0.5)
     full_params = {"sr": sr_vars["params"], "student": stu_vars["params"]}
