@@ -100,27 +100,31 @@ def main() -> None:
     batch = collate([ds[i] for i in range(BATCH)]).device_arrays()
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-    # BENCH_SCAN=K > 1: run K steps inside ONE jitted lax.scan, STEPS/K
-    # outer dispatches.  Isolates pure device time from per-dispatch
-    # overhead (the axon relay adds latency per executable invocation
-    # that a directly-attached host does not pay).  The per-step numbers
-    # are the canonical protocol; the scan number bounds the device.
+    # BENCH_SCAN=K > 1: run K steps inside ONE jitted lax.scan (the
+    # Trainer's --steps_per_dispatch path), STEPS/K outer dispatches.
+    # Isolates pure device time from per-dispatch overhead.  Measured
+    # round 3: 1,491 img/s at K=10 vs 1,501 per-step — dispatch overhead
+    # on this relay-attached chip is ~nil; the step is device-bound.
     scan_k = int(os.environ.get("BENCH_SCAN", "1"))
     if scan_k > 1:
+        from tatt_tpu.train.steps import make_multi_train_step
+
         inner = make_train_step(
             sr_apply, crnn_apply, crnn_apply, cfg, sr_apply_fused=sr_apply_fused
         )
+        multi = jax.jit(
+            make_multi_train_step(inner, scan_k), donate_argnums=0
+        )
+        stacked = {
+            k: jnp.broadcast_to(v, (scan_k,) + v.shape) for k, v in batch.items()
+        }
 
         @partial(jax.jit, donate_argnums=0)
-        def step(state, teacher_vars, batch, rng):
-            def body(s, r):
-                s2, m = inner(s, teacher_vars, batch, r)
-                return s2, m["loss_total"]
-
-            new_state, losses = jax.lax.scan(
-                body, state, jax.random.split(rng, scan_k)
+        def step(state, teacher_vars, batch_unused, rng):
+            new_state, ms = multi(
+                state, teacher_vars, stacked, jax.random.split(rng, scan_k)
             )
-            return new_state, {"loss_total": losses[-1]}
+            return new_state, {"loss_total": ms["loss_total"][-1]}
 
     n_calls = STEPS // scan_k
 

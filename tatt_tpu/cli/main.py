@@ -108,6 +108,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", "--lr", dest="lr", type=float, default=None)
     # TPU-stack additions
     p.add_argument("--dp_devices", type=int, default=0)
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="K>1 runs K optimizer steps inside one jitted "
+                        "lax.scan dispatch (TPU-native; amortizes host "
+                        "dispatch latency — val/save events crossed inside "
+                        "a chunk fire at the chunk boundary, up to K-1 "
+                        "iters late)")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--log_dir", default="tensorboard")
     p.add_argument("--vis", action="store_true",

@@ -135,6 +135,7 @@ class Flags:
     lr: Optional[float] = None
     # TPU-specific additions (no reference counterpart):
     dp_devices: int = 0        # 0 = all visible devices
+    steps_per_dispatch: int = 1  # K>1: K train steps per jitted dispatch
     dtype: str = "float32"     # compute dtype for the model ("bfloat16" on TPU)
     log_dir: str = "tensorboard"
     tiny_tpg: bool = False     # shrink the CRNN for CPU smoke runs

@@ -46,6 +46,14 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_stacked_batch(mesh: Mesh, batch):
+    """Place a pytree of K-stacked host batches (leading axis = scan step,
+    axis 1 = batch) with the BATCH dim sharded over ICI.  Companion to
+    ``train.steps.make_multi_train_step``."""
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -20,7 +20,13 @@ import numpy as np
 from tatt_tpu.core.charset import ctc_greedy_decode
 from tatt_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
 from tatt_tpu.core.config import Config
-from tatt_tpu.core.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
+from tatt_tpu.core.mesh import (
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    shard_batch,
+    shard_stacked_batch,
+)
 from tatt_tpu.data.loader import DataLoader
 from tatt_tpu.losses.ssim import psnr as psnr_fn
 from tatt_tpu.losses.ssim import ssim as ssim_fn
@@ -31,6 +37,7 @@ from tatt_tpu.train.state import TrainState, make_optimizer
 from tatt_tpu.train.steps import (
     StepConfig,
     make_eval_step,
+    make_multi_train_step,
     make_plain_train_step,
     make_train_step,
 )
@@ -214,17 +221,25 @@ class Trainer:
             return self.crnn.apply(variables, luma_in, train=train, mutable=mutable)
 
         if self.uses_prior:
-            self._train_step = jax.jit(
-                make_train_step(
-                    sr_apply,
-                    crnn_apply,
-                    crnn_apply,
-                    self.step_cfg,
-                    parse_fn=self._parse_fn,
-                    sr_apply_fused=sr_apply_fused,
-                ),
-                donate_argnums=0,
+            inner_step = make_train_step(
+                sr_apply,
+                crnn_apply,
+                crnn_apply,
+                self.step_cfg,
+                parse_fn=self._parse_fn,
+                sr_apply_fused=sr_apply_fused,
             )
+            self._train_step = jax.jit(inner_step, donate_argnums=0)
+            # K>1: K optimizer steps per dispatch via lax.scan (TPU-native;
+            # amortizes per-dispatch host latency, see make_multi_train_step)
+            self.steps_per_dispatch = max(
+                1, int(getattr(cfg.args, "steps_per_dispatch", 1))
+            )
+            if self.steps_per_dispatch > 1:
+                self._train_step_multi = jax.jit(
+                    make_multi_train_step(inner_step, self.steps_per_dispatch),
+                    donate_argnums=0,
+                )
             self._eval_step = jax.jit(
                 make_eval_step(
                     sr_apply,
@@ -389,48 +404,122 @@ class Trainer:
         t_start = time.time()
         images_seen = 0
 
+        # K>1: dispatch K optimizer steps as one lax.scan executable
+        # (make_multi_train_step) — semantics identical to K sequential
+        # steps; interval events crossed inside a chunk fire at the chunk
+        # boundary, i.e. at most K-1 iters late.
+        k = (
+            self.steps_per_dispatch
+            if self.uses_prior and hasattr(self, "_train_step_multi")
+            else 1
+        )
+        pending: list = []
+
+        def _display(epoch, step_no, m):
+            ips = images_seen / (time.time() - t_start)
+            self.log(
+                f"[epoch {epoch}] iter {step_no} "
+                f"loss {float(m['loss_total']):.3f} "
+                f"sr {float(m.get('loss_sr', 0)):.3f} "
+                f"distill {float(m.get('loss_distill', 0)):.3f} "
+                f"({ips:.1f} img/s)"
+            )
+
+        def _boundary(epoch, prev):
+            """Fire val/save events crossed in (prev, iters]."""
+            nonlocal state
+            vi = cfg.TRAIN.VAL.valInterval
+            if vi > 0 and iters // vi > prev // vi:
+                self.state = jax.device_get(state)
+                self._validate_and_checkpoint(iters, epoch)
+                state = replicate(self.mesh, self.state)
+            si = cfg.TRAIN.saveInterval
+            if si > 0 and iters // si > prev // si:
+                self.state = jax.device_get(state)
+                save_checkpoint(
+                    os.path.join(self.ckpt_dir, "checkpoint.ckpt"),
+                    self.state,
+                    info=self._info(iters, epoch),
+                    converge=self.converge_list,
+                )
+
+        def _single(arrays, epoch) -> bool:
+            """One per-batch step + bookkeeping; True = max_iters reached."""
+            nonlocal state, iters, images_seen
+            sharded = shard_batch(self.mesh, arrays)
+            if self.uses_prior:
+                state, metrics = self._train_step(
+                    state, teacher, sharded, jax.random.PRNGKey(iters)
+                )
+            else:
+                state, metrics = self._train_step_plain(
+                    state, sharded, jax.random.PRNGKey(iters)
+                )
+            iters += 1
+            images_seen += arrays["images_lr"].shape[0]
+            if iters % 5 == 0:
+                self._scalars(iters, jax.device_get(metrics))
+            if iters % cfg.TRAIN.displayInterval == 0:
+                _display(epoch, iters, jax.device_get(metrics))
+            _boundary(epoch, iters - 1)
+            if max_iters is not None and iters >= max_iters:
+                self.state = jax.device_get(state)
+                self.log(f"training stopped at iter {iters} (max_iters)")
+                return True
+            return False
+
+        def _chunk(epoch) -> None:
+            """Run the K accumulated batches in one dispatch."""
+            nonlocal state, iters, images_seen
+            prev = iters
+            nb = pending[0]["images_lr"].shape[0]
+            stacked = {
+                key: np.stack([p[key] for p in pending])
+                for key in pending[0]
+            }
+            pending.clear()
+            rngs = jnp.stack(
+                [jax.random.PRNGKey(prev + j) for j in range(k)]
+            )
+            state, mstack = self._train_step_multi(
+                state, teacher, shard_stacked_batch(self.mesh, stacked), rngs
+            )
+            iters += k
+            images_seen += nb * k
+            mhost = None
+            for j in range(k):
+                step_no = prev + j + 1
+                need_scalars = step_no % 5 == 0
+                need_log = step_no % cfg.TRAIN.displayInterval == 0
+                if need_scalars or need_log:
+                    if mhost is None:
+                        mhost = jax.device_get(mstack)
+                    mj = jax.tree_util.tree_map(lambda a: a[j], mhost)
+                    if need_scalars:
+                        self._scalars(step_no, mj)
+                    if need_log:
+                        _display(epoch, step_no, mj)
+            _boundary(epoch, prev)
+
         for epoch in range(cfg.epochs):
             for batch in self.train_loader:
                 arrays = batch.device_arrays()
-                sharded = shard_batch(self.mesh, arrays)
-                if self.uses_prior:
-                    state, metrics = self._train_step(
-                        state, teacher, sharded, jax.random.PRNGKey(iters)
-                    )
-                else:
-                    state, metrics = self._train_step_plain(
-                        state, sharded, jax.random.PRNGKey(iters)
-                    )
-                iters += 1
-                images_seen += arrays["images_lr"].shape[0]
-
-                if iters % 5 == 0:
-                    self._scalars(iters, jax.device_get(metrics))
-                if iters % cfg.TRAIN.displayInterval == 0:
-                    m = jax.device_get(metrics)
-                    ips = images_seen / (time.time() - t_start)
-                    self.log(
-                        f"[epoch {epoch}] iter {iters} "
-                        f"loss {float(m['loss_total']):.3f} "
-                        f"sr {float(m.get('loss_sr', 0)):.3f} "
-                        f"distill {float(m.get('loss_distill', 0)):.3f} "
-                        f"({ips:.1f} img/s)"
-                    )
-                if cfg.TRAIN.VAL.valInterval > 0 and iters % cfg.TRAIN.VAL.valInterval == 0:
-                    self.state = jax.device_get(state)
-                    self._validate_and_checkpoint(iters, epoch)
-                    state = replicate(self.mesh, self.state)
-                if iters % cfg.TRAIN.saveInterval == 0:
-                    self.state = jax.device_get(state)
-                    save_checkpoint(
-                        os.path.join(self.ckpt_dir, "checkpoint.ckpt"),
-                        self.state,
-                        info=self._info(iters, epoch),
-                        converge=self.converge_list,
-                    )
-                if max_iters is not None and iters >= max_iters:
-                    self.state = jax.device_get(state)
-                    self.log(f"training stopped at iter {iters} (max_iters)")
+                if k > 1 and (max_iters is None or max_iters - iters >= k):
+                    pending.append(arrays)
+                    if len(pending) == k:
+                        _chunk(epoch)
+                        if max_iters is not None and iters >= max_iters:
+                            self.state = jax.device_get(state)
+                            self.log(
+                                f"training stopped at iter {iters} (max_iters)"
+                            )
+                            return {"iters": iters}
+                elif _single(arrays, epoch):
+                    return {"iters": iters}
+            # epoch boundary: flush a partial chunk per-batch
+            leftovers, pending[:] = list(pending), []
+            for arrays in leftovers:
+                if _single(arrays, epoch):
                     return {"iters": iters}
         self.state = jax.device_get(state)
         self.log(f"training finished at iter {iters}")

@@ -364,6 +364,35 @@ def make_train_step(
     return step_fn
 
 
+def make_multi_train_step(step_fn: Callable, k: int):
+    """Wrap a train step so K optimizer steps run inside ONE dispatch.
+
+    TPU-native addition with no reference counterpart: the reference's
+    torch loop launches kernels per python iteration, while under jit the
+    whole K-step ``lax.scan`` is a single executable — per-dispatch host
+    latency (significant on remote-attached hosts) is paid once per K
+    steps instead of every step.  Semantics are exactly K sequential
+    ``step_fn`` calls: each scan iteration consumes its own batch slice
+    and rng, so losses/stats/optimizer state evolve identically (the
+    equivalence is asserted by
+    ``tests/test_train_step.py::test_multi_step_scan_matches_sequential``).
+
+    ``batches``: the per-step batch dict with every leaf stacked along a
+    new leading axis of size K.  ``rngs``: [K, 2] stacked PRNG keys.
+    Returns the final state and per-step metrics stacked along axis 0.
+    """
+
+    def multi_step(state, teacher_vars, batches, rngs):
+        def body(s, xs):
+            b, r = xs
+            s2, m = step_fn(s, teacher_vars, b, r)
+            return s2, m
+
+        return jax.lax.scan(body, state, (batches, rngs), length=k)
+
+    return multi_step
+
+
 def make_plain_train_step(
     sr_apply: Callable,
     criterion: Callable,

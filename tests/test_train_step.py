@@ -322,3 +322,131 @@ def test_fused_tssim_lockstep_matches_two_forward(batch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-6
         )
+
+
+def test_multi_step_scan_matches_sequential(batch):
+    """K steps inside one lax.scan dispatch == K sequential dispatches.
+
+    Same batches and same per-step rng keys; final params, opt state, BN
+    stats, step counter, and per-step metrics must agree.  (TPU-native
+    dispatch amortization — no reference counterpart.)
+    """
+    from tatt_tpu.core.mesh import shard_stacked_batch
+    from tatt_tpu.train.steps import make_multi_train_step
+
+    import optax
+
+    K = 3
+    cfg = StepConfig(tssim_loss=True, rotate_train=5.0, use_distill=True)
+    sr_apply, crnn_apply, state0, teacher_vars = _tiny_setup()
+    # SGD, not Adam: Adam's first-step update is ~sign(g), so the
+    # reassociation-level gradient noise between the two compilations
+    # (scan body vs standalone executable) flips near-zero updates by a
+    # full +-lr.  SGD is linear in the gradient, making the comparison
+    # measure the scan SEMANTICS rather than Adam's sign sensitivity
+    # (losses still match bitwise under both optimizers).
+    state0 = TrainState.create(
+        [
+            {"params": p, "batch_stats": bs}
+            for p, bs in zip(state0.sr_params, state0.sr_batch_stats)
+        ],
+        [
+            {"params": p, "batch_stats": bs}
+            for p, bs in zip(
+                state0.student_params, state0.student_batch_stats
+            )
+        ],
+        optax.sgd(1e-2),
+    )
+    inner = make_train_step(sr_apply, crnn_apply, crnn_apply, cfg)
+    step = jax.jit(inner)
+    multi = jax.jit(make_multi_train_step(inner, K))
+
+    mesh = make_mesh()
+    # K distinct batches: permute the synthetic batch differently per step
+    rng = np.random.default_rng(0)
+    batches = [
+        {k: np.asarray(v)[perm] for k, v in batch.items()}
+        for perm in (rng.permutation(8) for _ in range(K))
+    ]
+    keys = [jax.random.PRNGKey(100 + j) for j in range(K)]
+
+    seq_state = replicate(mesh, state0)
+    teacher_sh = replicate(mesh, teacher_vars)
+    seq_metrics = []
+    for b, r in zip(batches, keys):
+        seq_state, m = step(seq_state, teacher_sh, shard_batch(mesh, b), r)
+        seq_metrics.append(jax.device_get(m))
+
+    stacked = {
+        k: np.stack([b[k] for b in batches]) for k in batches[0]
+    }
+    scan_state, mstack = multi(
+        replicate(mesh, state0),
+        teacher_sh,
+        shard_stacked_batch(mesh, stacked),
+        jnp.stack(keys),
+    )
+    mstack = jax.device_get(mstack)
+
+    assert int(scan_state.step) == int(seq_state.step) == K
+    for j in range(K):
+        np.testing.assert_allclose(
+            mstack["loss_total"][j],
+            seq_metrics[j]["loss_total"],
+            rtol=2e-4,
+            err_msg=f"step {j} loss diverged",
+        )
+    for name, a, b in (
+        ("sr_params", seq_state.sr_params, scan_state.sr_params),
+        ("student_params", seq_state.student_params, scan_state.student_params),
+        ("sr_batch_stats", seq_state.sr_batch_stats, scan_state.sr_batch_stats),
+    ):
+        la = jax.tree_util.tree_leaves(jax.device_get(a))
+        lb = jax.tree_util.tree_leaves(jax.device_get(b))
+        assert len(la) == len(lb)
+        for xa, xb in zip(la, lb):
+            np.testing.assert_allclose(
+                np.asarray(xa, np.float32),
+                np.asarray(xb, np.float32),
+                rtol=1e-4,
+                atol=2e-5,
+                err_msg=f"{name} diverged after {K} steps",
+            )
+
+
+def test_trainer_steps_per_dispatch_runs(tmp_path):
+    """Trainer with steps_per_dispatch=2 trains, logs, and checkpoints;
+    save events crossed inside a chunk fire at the chunk boundary."""
+    import os as _os
+
+    from tatt_tpu.core.config import Config
+    from tatt_tpu.data.synthetic import SyntheticTextDataset
+    from tatt_tpu.train.loop import Trainer
+
+    cfg = Config()
+    cfg.args.tiny_tpg = True
+    cfg.args.log_dir = ""
+    cfg.args.tssim_loss = True
+    cfg.args.steps_per_dispatch = 2
+    cfg.args.batch_size = 8
+    cfg.TRAIN.batch_size = 8
+    cfg.TRAIN.VAL.valInterval = 0
+    cfg.TRAIN.saveInterval = 3  # not a multiple of K=2: boundary deferral
+    cfg.TRAIN.displayInterval = 2
+    cfg.TRAIN.ckpt_dir = str(tmp_path)
+    cfg.MODEL.srb_nums = 1
+    cfg.MODEL.hidden_units = 4
+    cfg.MODEL.out_text_channels = 8
+    cfg.args.hd_u = 4
+    cfg.args.srb = 1
+    logs = []
+    tr = Trainer(cfg, SyntheticTextDataset(n=16), log_fn=logs.append)
+    assert hasattr(tr, "_train_step_multi")
+    out = tr.train(max_iters=5)
+    # 2 chunks of 2 + 1 single tail step (max_iters - iters < k)
+    assert out["iters"] == 5
+    assert int(tr.state.step) == 5
+    assert any("iter 2" in l for l in logs) and any("iter 4" in l for l in logs)
+    ckpt = _os.path.join(str(tr.ckpt_dir), "checkpoint.ckpt")
+    assert _os.path.exists(ckpt)
