@@ -37,6 +37,82 @@ def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     return x.reshape(n, oc, h * r, w * r)
 
 
+def pixel_unshuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Inverse of :func:`pixel_shuffle` (space-to-depth): [N, C, H, W] ->
+    [N, C*r^2, H/r, W/r] with channel order (c, qy, qx)."""
+    n, c, h, w = x.shape
+    x = x.reshape(n, c, h // r, r, w // r, r)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(n, c * r * r, h // r, w // r)
+
+
+def _lane_pack_kernel(w: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Re-express an OIHW conv kernel on the r x r space-to-depth domain.
+
+    For a stride-1 conv whose padding equals ``r * p`` on each side, the
+    conv commutes with pixel-unshuffle: ``conv(x, w) ==
+    pixel_shuffle(conv(pixel_unshuffle(x, r), big_w), r)`` where ``big_w``
+    has shape [O*r^2, I*r^2, Eh, Ew].  Because the padding is a multiple of
+    r, each output phase's taps are a pure SHIFT of the original kernel
+    (dy = t - py), so ``big_w`` is built from pads/stacks only — no
+    scatter, fully differentiable, negligible per-step cost.
+    """
+    o, i, kh, kw = w.shape
+    th = r * -(-(kh + r - 1) // r)  # ceil to multiple of r
+    tw = r * -(-(kw + r - 1) // r)
+    rows = [
+        jnp.pad(w, ((0, 0), (0, 0), (py, th - kh - py), (0, 0)))
+        for py in range(r)
+    ]
+    wy = jnp.stack(rows, axis=1)  # [O, r(py), I, Th, kw]
+    cols = [
+        jnp.pad(wy, ((0, 0), (0, 0), (0, 0), (0, 0), (px, tw - kw - px)))
+        for px in range(r)
+    ]
+    wxy = jnp.stack(cols, axis=2)  # [O, r(py), r(px), I, Th, Tw]
+    eh, ew = th // r, tw // r
+    wxy = wxy.reshape(o, r, r, i, eh, r, ew, r)
+    # -> [O, py, px, I, qy, qx, Eh, Ew] matching pixel_(un)shuffle order
+    wxy = wxy.transpose(0, 1, 2, 3, 5, 7, 4, 6)
+    return wxy.reshape(o * r * r, i * r * r, eh, ew)
+
+
+def lane_packed_conv(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    r: int,
+    padding: tuple[int, int],
+) -> jnp.ndarray:
+    """Stride-1 NCHW conv computed on the r x r space-to-depth domain.
+
+    Mathematically identical to the direct conv (same contraction, same
+    zero padding — requires ``padding % r == 0`` and H, W divisible by r),
+    but with r^2 x the channel count and 1/r^2 the positions, so a
+    few-output-channel conv (e.g. TSRN's final 9x9 64->4, reference
+    ``model/tsrn.py:613-616``) fills the MXU's 128 output lanes instead of
+    stranding 124 of them.  Measured round 3: the final-conv fwd+bwd was
+    the single most expensive op family in the step trace (3.4 ms/step,
+    10-14 TF/s) — lane-packing trades 1.78x the FLOPs for 16x the lane
+    utilization.
+    """
+    ph, pw = padding
+    kh, kw = kernel.shape[2], kernel.shape[3]
+    # same-size ('same'-style) stride-1 convs only
+    assert ph % r == 0 and pw % r == 0 and 2 * ph == kh - 1 and 2 * pw == kw - 1
+    xu = pixel_unshuffle(x, r)
+    big = _lane_pack_kernel(kernel, r).astype(x.dtype)
+    eh, ew = big.shape[2], big.shape[3]
+    plo_h, plo_w = ph // r, pw // r
+    yu = jax.lax.conv_general_dilated(
+        xu,
+        big,
+        window_strides=(1, 1),
+        padding=[(plo_h, eh - 1 - plo_h), (plo_w, ew - 1 - plo_w)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return pixel_shuffle(yu, r)
+
+
 def torch_conv_init(fan_in: int):
     """Torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(-b, b)
     with b = 1/sqrt(fan_in); bias likewise."""
@@ -59,6 +135,10 @@ class Conv2d(nn.Module):
     use_bias: bool = True
     feature_group_count: int = 1
     dtype: Optional[jnp.dtype] = None
+    # >1: compute via lane_packed_conv on the r x r space-to-depth domain
+    # when shapes allow (exact same math; MXU lane utilization for convs
+    # with few output channels).  Falls back to the direct conv otherwise.
+    lane_pack: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -71,6 +151,27 @@ class Conv2d(nn.Module):
             (self.features, in_ch // self.feature_group_count, kh, kw),
         )
         dt = self.dtype or x.dtype
+        r = self.lane_pack
+        if (
+            r > 1
+            and self.strides == (1, 1)
+            and self.feature_group_count == 1
+            and self.padding[0] % r == 0
+            and self.padding[1] % r == 0
+            and 2 * self.padding[0] == kh - 1
+            and 2 * self.padding[1] == kw - 1
+            and x.shape[2] % r == 0
+            and x.shape[3] % r == 0
+        ):
+            y = lane_packed_conv(
+                x.astype(dt), kernel.astype(dt), r, self.padding
+            )
+            if self.use_bias:
+                bias = self.param(
+                    "bias", torch_conv_init(fan_in), (self.features,)
+                )
+                y = y + bias.astype(dt)[None, :, None, None]
+            return y
         y = jax.lax.conv_general_dilated(
             x.astype(dt),
             kernel.astype(dt),
@@ -151,16 +252,32 @@ class BatchNorm2d(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
         if train:
-            x32 = x.astype(jnp.float32)
             if self.copies > 1:
                 k = self.copies
                 nb = x.shape[0] // k
                 assert nb * k == x.shape[0], (
                     f"batch {x.shape[0]} not divisible by copies={k}"
                 )
-                xg = x32.reshape(k, nb, c, x.shape[2], x.shape[3])
-                mean_g = xg.mean(axis=(1, 3, 4))  # [k, C]
-                var_g = xg.var(axis=(1, 3, 4))  # [k, C]
+                # per-copy stats via BATCH-AXIS SLICES, not a [k, nb, ...]
+                # reshape: the reshape forced XLA to materialize a full
+                # f32 relayouted copy of the activation per BN (measured
+                # ~83 us each in the round-3 device trace); slicing dim 0
+                # keeps the layout, and the f32 converts fuse into the
+                # reduces.  Two-pass variance (mean, then E[(x-m)^2])
+                # keeps the f32 cancellation safety from round 2.
+                parts = [
+                    x[i * nb : (i + 1) * nb].astype(jnp.float32)
+                    for i in range(k)
+                ]
+                mean_l = [p.mean(axis=(0, 2, 3)) for p in parts]
+                var_l = [
+                    jnp.square(
+                        p - m[None, :, None, None]
+                    ).mean(axis=(0, 2, 3))
+                    for p, m in zip(parts, mean_l)
+                ]
+                mean_g = jnp.stack(mean_l)  # [k, C]
+                var_g = jnp.stack(var_l)  # [k, C]
                 if not self.is_initializing():
                     n = nb * x.shape[2] * x.shape[3]
                     unb = var_g * n / max(n - 1, 1)
@@ -180,6 +297,7 @@ class BatchNorm2d(nn.Module):
                 return (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + bias[
                     None, :, None, None
                 ].astype(x.dtype)
+            x32 = x.astype(jnp.float32)
             mean = x32.mean(axis=(0, 2, 3))
             var = x32.var(axis=(0, 2, 3))
             if not self.is_initializing():

@@ -163,7 +163,7 @@ class TSRN(nn.Module):
         h = b1 + h
         for i in range(int(math.log2(self.scale_factor))):
             h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
-        out = Conv2d(in_planes, (9, 9), padding=(4, 4), name="final_conv")(h)
+        out = Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final_conv")(h)
         return jnp.tanh(out)
 
 
@@ -217,7 +217,7 @@ class TSRN_TL(nn.Module):
         h = b1 + h
         for i in range(int(math.log2(self.scale_factor))):
             h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
-        out = Conv2d(in_planes, (9, 9), padding=(4, 4), name="final_conv")(h)
+        out = Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final_conv")(h)
         out = jnp.tanh(out)
         aux = {"spatial_t_emb": tp_raw, "in_feat": b1, "trans_feat": tp_map}
         return out, aux
@@ -291,7 +291,7 @@ class TSRN_TL_SFT(nn.Module):
         h = b1 + h
         for i in range(int(math.log2(self.scale_factor))):
             h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
-        out = jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), name="final_conv")(h))
+        out = jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final_conv")(h))
         return out, {"spatial_t_emb": tp_raw, "in_feat": b1, "trans_feat": tp}
 
 
@@ -321,13 +321,13 @@ class TSRN_C2F(nn.Module):
             h = RecurrentResidualBlock(ch, name=f"srb{i+2}")(h, train)
         h = Conv2d(ch, name="post_conv")(h)
         h = BatchNorm2d(name="post_bn")(h, train)
-        coarse = Conv2d(in_planes, (9, 9), padding=(4, 4), name="coarse_proj")(h)
+        coarse = Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="coarse_proj")(h)
         cat = jnp.concatenate([b1 + h, coarse], axis=1)
         up = cat
         for i in range(int(math.log2(self.scale_factor))):
             up = UpsampleBlock(ch + in_planes, 2, name=f"up{i}")(up)
         out = jnp.tanh(
-            Conv2d(in_planes, (9, 9), padding=(4, 4), name="final_conv")(up)
+            Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final_conv")(up)
         )
         return out, coarse
 
@@ -430,7 +430,7 @@ class SEM_TSRN(nn.Module):
         h = b1 + h
         for i in range(int(math.log2(self.scale_factor))):
             h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
-        out = jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), name="final_conv")(h))
+        out = jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final_conv")(h))
         return out, pred_vecs
 
 
@@ -512,7 +512,7 @@ class TATT(nn.Module):
         h = b1 + h
         for i in range(int(math.log2(self.scale_factor))):
             h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
-        out = Conv2d(in_planes, (9, 9), padding=(4, 4), name="final_conv")(h)
+        out = Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final_conv")(h)
         out = jnp.tanh(out)
 
         aux = {

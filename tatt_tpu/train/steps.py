@@ -55,6 +55,26 @@ class StepConfig(NamedTuple):
     compute_dtype: str = "float32"  # "bfloat16" halves MXU/HBM pressure
 
 
+def _rbg_key(key: jax.Array) -> jax.Array:
+    """Re-key the dropout stream to the ``rbg`` PRNG implementation.
+
+    Threefry2x32 mask generation costs ~1.9 ms/step at the transformer's
+    [2B,1024,64] + attention [2B,4,1024,26] shapes (device trace, BENCH
+    NOTES round 3); ``rbg`` lowers to the TPU's native RngBitGenerator.
+    Key derivation (split/fold_in) stays cheap either way — only the bulk
+    bit generation changes, so dropout masks remain iid Bernoulli, just
+    from a different (still splittable) counter-based generator.
+    """
+    raw = (
+        jax.random.key_data(key)
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
+        else key
+    ).reshape(-1)[:2]
+    return jax.random.wrap_key_data(
+        jnp.concatenate([raw, raw]).astype(jnp.uint32), impl="rbg"
+    )
+
+
 def loss_stablize(loss_set: jnp.ndarray, keep: float = 0.7) -> jnp.ndarray:
     """Drop the worst (1-keep) fraction of per-sample losses.  The
     reference's ``loss_stablizing`` (``super_resolution.py:84-93``) intends
@@ -103,6 +123,7 @@ def make_train_step(
             images_lr = batch["images_lr"]
 
         rot_rng, drop_rng = jax.random.split(rng)
+        drop_rng = _rbg_key(drop_rng)
 
         if cfg.rotate_train:
             b = images_lr.shape[0]
@@ -411,6 +432,7 @@ def make_plain_train_step(
         images_hr = batch["images_hr"][:, :channels]
         images_lr = batch["images_lr"][:, :channels]
         rot_rng, drop_rng = jax.random.split(rng)
+        drop_rng = _rbg_key(drop_rng)
 
         if cfg.rotate_train:
             b = images_lr.shape[0]

@@ -129,3 +129,35 @@ def test_grid_sample_mxu_matches_gather():
         want = np.asarray(grid_sample_bilinear(x, grid, align_corners=ac))
         got = np.asarray(grid_sample_bilinear_mxu(x, grid, align_corners=ac))
         np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("shape,r", [((2, 64, 32, 128, 4, 9), 4), ((3, 16, 16, 64, 3, 9), 4), ((2, 8, 32, 32, 5, 9), 2)])
+def test_lane_packed_conv_matches_direct(shape, r):
+    """lane_packed_conv (space-to-depth reformulation of the TSRN final
+    9x9 conv, ``model/tsrn.py:613-616``) is the SAME contraction as the
+    direct conv — values and both gradients must match to fp rounding."""
+    import jax
+    import jax.numpy as jnp
+
+    from tatt_tpu.models.common import lane_packed_conv
+
+    b, c, h, w, o, k = shape
+    pad = (k - 1) // 2
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, c, h, w).astype(np.float32))
+    kern = jnp.asarray(rng.randn(o, c, k, k).astype(np.float32) * 0.1)
+
+    def direct(x_, w_):
+        return jax.lax.conv_general_dilated(
+            x_, w_, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+
+    ref = direct(x, kern)
+    got = lane_packed_conv(x, kern, r, (pad, pad))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-5)
+
+    gp = jax.grad(lambda a, b_: lane_packed_conv(a, b_, r, (pad, pad)).sum(), argnums=(0, 1))(x, kern)
+    gd = jax.grad(lambda a, b_: direct(a, b_).sum(), argnums=(0, 1))(x, kern)
+    for a, b_ in zip(gp, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-5)
