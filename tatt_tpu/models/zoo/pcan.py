@@ -150,7 +150,7 @@ class PCAN(nn.Module):
         h = h + b1
         for i in range(int(math.log2(self.scale_factor))):
             h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
-        return jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), name="final")(h))
+        return jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final")(h))
 
 
 class PCAN_TL(nn.Module):
@@ -188,6 +188,6 @@ class PCAN_TL(nn.Module):
         h = h + b1
         for i in range(int(math.log2(self.scale_factor))):
             h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
-        out = jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), name="final")(h))
+        out = jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final")(h))
         aux = {"spatial_t_emb": tp, "in_feat": b1, "trans_feat": tp}
         return out, aux

@@ -92,7 +92,7 @@ class SRResNet(nn.Module):
         h = b1 + h
         for i in range(int(math.log2(self.scale_factor))):
             h = _SRUp(name=f"up{i}")(h)
-        return jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), name="final")(h))
+        return jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final")(h))
 
 
 class SRResNet_TL(nn.Module):
@@ -140,7 +140,7 @@ class SRResNet_TL(nn.Module):
         h = b1 + h
         for i in range(int(math.log2(self.scale_factor))):
             h = _SRUp(name=f"up{i}")(h)
-        out = jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), name="final")(h))
+        out = jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final")(h))
         return out, {"pr_weights": pr_weights, "spatial_t_emb": tp_raw}
 
 

@@ -184,7 +184,7 @@ class TBSRN(nn.Module):
         h = b1 + h
         for i in range(int(math.log2(self.scale_factor))):
             h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
-        return jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), name="final")(h))
+        return jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final")(h))
 
 
 class TBSRN_TL(nn.Module):
@@ -224,5 +224,5 @@ class TBSRN_TL(nn.Module):
         h = b1 + h
         for i in range(int(math.log2(self.scale_factor))):
             h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
-        out = jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), name="final")(h))
+        out = jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final")(h))
         return out, {"spatial_t_emb": tp_raw}

@@ -121,6 +121,6 @@ class SRTransformerV4(nn.Module):
         # SRResConvDecoder (transformerSR.py:630-641)
         up = Conv2d(64 * 4, name="dec_up_conv")(fused)
         up = PReLU(name="dec_up_act")(pixel_shuffle(up, 2))
-        out_img = Conv2d(self.in_planes, (9, 9), padding=(4, 4), name="dec_final")(up)
+        out_img = Conv2d(self.in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="dec_final")(up)
         out_img = jnp.tanh(out_img)
         return out_img, {"pr_weights": pr_weights, "spatial_t_emb": tp_map}
