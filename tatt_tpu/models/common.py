@@ -46,6 +46,26 @@ def pixel_unshuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     return x.reshape(n, c * r * r, h // r, w // r)
 
 
+def pixel_shuffle_nhwc(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """NHWC PixelShuffle: [N, H, W, C*r^2] -> [N, H*r, W*r, C], with the
+    TORCH channel packing order (c, py, px) — the same weights produce the
+    same image as the NCHW :func:`pixel_shuffle` (checkpoint compat)."""
+    n, h, w, c = x.shape
+    oc = c // (r * r)
+    x = x.reshape(n, h, w, oc, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # [n, h, py, w, px, oc]
+    return x.reshape(n, h * r, w * r, oc)
+
+
+def pixel_unshuffle_nhwc(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Inverse of :func:`pixel_shuffle_nhwc` (space-to-depth): [N, H, W, C]
+    -> [N, H/r, W/r, r^2*C] with channel order (qy, qx, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // r, w // r, r * r * c)
+
+
 def _lane_pack_kernel(w: jnp.ndarray, r: int) -> jnp.ndarray:
     """Re-express an OIHW conv kernel on the r x r space-to-depth domain.
 
@@ -75,6 +95,53 @@ def _lane_pack_kernel(w: jnp.ndarray, r: int) -> jnp.ndarray:
     # -> [O, py, px, I, qy, qx, Eh, Ew] matching pixel_(un)shuffle order
     wxy = wxy.transpose(0, 1, 2, 3, 5, 7, 4, 6)
     return wxy.reshape(o * r * r, i * r * r, eh, ew)
+
+
+def _lane_pack_kernel_nhwc(w: jnp.ndarray, r: int) -> jnp.ndarray:
+    """As :func:`_lane_pack_kernel`, but emitting HWIO with channel packing
+    orders matching the NHWC shuffles: in (qy, qx, i), out (o, py, px)."""
+    o, i, kh, kw = w.shape
+    th = r * -(-(kh + r - 1) // r)
+    tw = r * -(-(kw + r - 1) // r)
+    rows = [
+        jnp.pad(w, ((0, 0), (0, 0), (py, th - kh - py), (0, 0)))
+        for py in range(r)
+    ]
+    wy = jnp.stack(rows, axis=1)  # [O, r(py), I, Th, kw]
+    cols = [
+        jnp.pad(wy, ((0, 0), (0, 0), (0, 0), (0, 0), (px, tw - kw - px)))
+        for px in range(r)
+    ]
+    wxy = jnp.stack(cols, axis=2)  # [O, py, px, I, Th, Tw]
+    eh, ew = th // r, tw // r
+    wxy = wxy.reshape(o, r, r, i, eh, r, ew, r)
+    # -> [Eh, Ew, qy, qx, I, O, py, px] (HWIO with packed channel orders)
+    wxy = wxy.transpose(4, 6, 5, 7, 3, 0, 1, 2)
+    return wxy.reshape(eh, ew, r * r * i, o * r * r)
+
+
+def lane_packed_conv_nhwc(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    r: int,
+    padding: tuple[int, int],
+) -> jnp.ndarray:
+    """NHWC twin of :func:`lane_packed_conv` (kernel still OIHW)."""
+    ph, pw = padding
+    kh, kw = kernel.shape[2], kernel.shape[3]
+    assert ph % r == 0 and pw % r == 0 and 2 * ph == kh - 1 and 2 * pw == kw - 1
+    xu = pixel_unshuffle_nhwc(x, r)
+    big = _lane_pack_kernel_nhwc(kernel, r).astype(x.dtype)
+    eh, ew = big.shape[0], big.shape[1]
+    plo_h, plo_w = ph // r, pw // r
+    yu = jax.lax.conv_general_dilated(
+        xu,
+        big,
+        window_strides=(1, 1),
+        padding=[(plo_h, eh - 1 - plo_h), (plo_w, ew - 1 - plo_w)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return pixel_shuffle_nhwc(yu, r)
 
 
 def lane_packed_conv(
@@ -125,8 +192,11 @@ def torch_conv_init(fan_in: int):
 
 
 class Conv2d(nn.Module):
-    """NCHW conv with torch-default initialization and 'same'-style
-    explicit padding."""
+    """Conv with torch-default initialization and 'same'-style explicit
+    padding.  The kernel param is always OIHW (torch checkpoint layout);
+    ``data_format='NHWC'`` runs the conv feature-minor, which on TPU
+    avoids the relayout copies XLA inserts between NCHW convs and
+    matmul-consuming neighbors (GRU sequence buffers, attention)."""
 
     features: int
     kernel_size: tuple[int, int] = (3, 3)
@@ -139,10 +209,12 @@ class Conv2d(nn.Module):
     # when shapes allow (exact same math; MXU lane utilization for convs
     # with few output channels).  Falls back to the direct conv otherwise.
     lane_pack: int = 1
+    data_format: str = "NCHW"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        in_ch = x.shape[1]
+        nhwc = self.data_format == "NHWC"
+        in_ch = x.shape[3] if nhwc else x.shape[1]
         kh, kw = self.kernel_size
         fan_in = in_ch // self.feature_group_count * kh * kw
         kernel = self.param(
@@ -151,7 +223,13 @@ class Conv2d(nn.Module):
             (self.features, in_ch // self.feature_group_count, kh, kw),
         )
         dt = self.dtype or x.dtype
+        h_ax, w_ax = (1, 2) if nhwc else (2, 3)
         r = self.lane_pack
+        bias = (
+            self.param("bias", torch_conv_init(fan_in), (self.features,))
+            if self.use_bias
+            else None
+        )
         if (
             r > 1
             and self.strides == (1, 1)
@@ -160,29 +238,25 @@ class Conv2d(nn.Module):
             and self.padding[1] % r == 0
             and 2 * self.padding[0] == kh - 1
             and 2 * self.padding[1] == kw - 1
-            and x.shape[2] % r == 0
-            and x.shape[3] % r == 0
+            and x.shape[h_ax] % r == 0
+            and x.shape[w_ax] % r == 0
         ):
-            y = lane_packed_conv(
-                x.astype(dt), kernel.astype(dt), r, self.padding
+            packed = lane_packed_conv_nhwc if nhwc else lane_packed_conv
+            y = packed(x.astype(dt), kernel.astype(dt), r, self.padding)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt),
+                kernel.astype(dt),
+                window_strides=self.strides,
+                padding=[(self.padding[0],) * 2, (self.padding[1],) * 2],
+                dimension_numbers=(
+                    ("NHWC", "OIHW", "NHWC") if nhwc else ("NCHW", "OIHW", "NCHW")
+                ),
+                feature_group_count=self.feature_group_count,
             )
-            if self.use_bias:
-                bias = self.param(
-                    "bias", torch_conv_init(fan_in), (self.features,)
-                )
-                y = y + bias.astype(dt)[None, :, None, None]
-            return y
-        y = jax.lax.conv_general_dilated(
-            x.astype(dt),
-            kernel.astype(dt),
-            window_strides=self.strides,
-            padding=[(self.padding[0],) * 2, (self.padding[1],) * 2],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            feature_group_count=self.feature_group_count,
-        )
-        if self.use_bias:
-            bias = self.param("bias", torch_conv_init(fan_in), (self.features,))
-            y = y + bias.astype(dt)[None, :, None, None]
+        if bias is not None:
+            b = bias.astype(dt)
+            y = y + (b if nhwc else b[None, :, None, None])
         return y
 
 
@@ -238,10 +312,17 @@ class BatchNorm2d(nn.Module):
     momentum: float = 0.9  # = 1 - torch momentum(0.1)
     epsilon: float = 1e-5
     copies: int = 1
+    data_format: str = "NCHW"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        c = x.shape[1]
+        nhwc = self.data_format == "NHWC"
+        c = x.shape[3] if nhwc else x.shape[1]
+        red = (0, 1, 2) if nhwc else (0, 2, 3)
+
+        def bc(v):  # [C] -> broadcastable over x
+            return v if nhwc else v[:, None, None]
+
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
         )
@@ -251,6 +332,7 @@ class BatchNorm2d(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
+        hw = (x.shape[1] * x.shape[2]) if nhwc else (x.shape[2] * x.shape[3])
         if train:
             if self.copies > 1:
                 k = self.copies
@@ -269,17 +351,15 @@ class BatchNorm2d(nn.Module):
                     x[i * nb : (i + 1) * nb].astype(jnp.float32)
                     for i in range(k)
                 ]
-                mean_l = [p.mean(axis=(0, 2, 3)) for p in parts]
+                mean_l = [p.mean(axis=red) for p in parts]
                 var_l = [
-                    jnp.square(
-                        p - m[None, :, None, None]
-                    ).mean(axis=(0, 2, 3))
+                    jnp.square(p - bc(m)[None]).mean(axis=red)
                     for p, m in zip(parts, mean_l)
                 ]
                 mean_g = jnp.stack(mean_l)  # [k, C]
                 var_g = jnp.stack(var_l)  # [k, C]
                 if not self.is_initializing():
-                    n = nb * x.shape[2] * x.shape[3]
+                    n = nb * hw
                     unb = var_g * n / max(n - 1, 1)
                     rm, rv = ra_mean.value, ra_var.value
                     for i in range(k):
@@ -287,21 +367,25 @@ class BatchNorm2d(nn.Module):
                         rv = self.momentum * rv + (1 - self.momentum) * unb[i]
                     ra_mean.value, ra_var.value = rm, rv
                 # broadcast per-copy stats over the packed batch and
-                # normalize in the original [2B, C, H, W] layout.  (Doing
-                # the elementwise on the reshaped [k, nb, ...] view instead
+                # normalize in the original packed layout.  (Doing the
+                # elementwise on the reshaped [k, nb, ...] view instead
                 # measured 12% SLOWER end-to-end on v5e: the reshape forces
                 # relayouts through every BN's fwd+bwd.)
-                mean = jnp.repeat(mean_g, nb, axis=0)[:, :, None, None]
-                var = jnp.repeat(var_g, nb, axis=0)[:, :, None, None]
-                inv = jax.lax.rsqrt(var + self.epsilon) * scale[None, :, None, None]
-                return (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + bias[
-                    None, :, None, None
-                ].astype(x.dtype)
+                mean = jnp.repeat(mean_g, nb, axis=0)  # [2B, C]
+                var = jnp.repeat(var_g, nb, axis=0)
+                if nhwc:
+                    mean, var = mean[:, None, None, :], var[:, None, None, :]
+                else:
+                    mean, var = mean[:, :, None, None], var[:, :, None, None]
+                inv = jax.lax.rsqrt(var + self.epsilon) * bc(scale)[None]
+                return (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + bc(
+                    bias
+                )[None].astype(x.dtype)
             x32 = x.astype(jnp.float32)
-            mean = x32.mean(axis=(0, 2, 3))
-            var = x32.var(axis=(0, 2, 3))
+            mean = x32.mean(axis=red)
+            var = x32.var(axis=red)
             if not self.is_initializing():
-                n = x.shape[0] * x.shape[2] * x.shape[3]
+                n = x.shape[0] * hw
                 unbiased = var * n / max(n - 1, 1)
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
@@ -313,9 +397,9 @@ class BatchNorm2d(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        y = (x - mean[None, :, None, None].astype(x.dtype)) * inv[
-            None, :, None, None
-        ].astype(x.dtype) + bias[None, :, None, None].astype(x.dtype)
+        y = (x - bc(mean)[None].astype(x.dtype)) * bc(inv)[None].astype(
+            x.dtype
+        ) + bc(bias)[None].astype(x.dtype)
         return y
 
 

@@ -50,15 +50,22 @@ class TPInterpreter(nn.Module):
     #               BATCH, so each batch index gets a different query.
     #               Needed when importing reference generator checkpoints.
     query_gru_mode: str = "width"
+    # 'NHWC': image features arrive feature-minor; the [N, HW, C] flatten
+    # and the prior-map reshape are then free (no relayout copies).
+    data_format: str = "NCHW"
 
     @nn.compact
     def __call__(
         self,
-        image_feature: jnp.ndarray,  # [N, C, H, W]
+        image_feature: jnp.ndarray,  # [N, C, H, W] or [N, H, W, C]
         tp_input: jnp.ndarray,  # [N, text_emb, 1, T]
         deterministic: bool = True,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        n, c_i, h, w = image_feature.shape
+        nhwc = self.data_format == "NHWC"
+        if nhwc:
+            n, h, w, c_i = image_feature.shape
+        else:
+            n, c_i, h, w = image_feature.shape
         dt = image_feature.dtype
         # [N, T, text_emb]
         x = tp_input[:, :, 0, :].transpose(0, 2, 1).astype(dt)
@@ -113,8 +120,11 @@ class TPInterpreter(nn.Module):
             )
             query_pos = jnp.broadcast_to(query_pos, (n, seq_len, self.d_model))
 
-        # tgt = flattened image features [N, H*W, C]
-        tgt = image_feature.reshape(n, c_i, h * w).transpose(0, 2, 1)
+        # tgt = flattened image features [N, H*W, C] (row-major over H, W)
+        if nhwc:
+            tgt = image_feature.reshape(n, h * w, c_i)
+        else:
+            tgt = image_feature.reshape(n, c_i, h * w).transpose(0, 2, 1)
 
         norm = LayerNorm(name="decoder_norm")
         intermediates = []
@@ -132,5 +142,10 @@ class TPInterpreter(nn.Module):
         # return_intermediate semantics (transformer_v2.py:380-390): the mean
         # over per-layer normed outputs
         text_prior = sum(intermediates) / len(intermediates)  # [N, HW, C]
-        text_prior = text_prior.transpose(0, 2, 1).reshape(n, self.d_model, h, w)
+        if nhwc:
+            text_prior = text_prior.reshape(n, h, w, self.d_model)
+        else:
+            text_prior = text_prior.transpose(0, 2, 1).reshape(
+                n, self.d_model, h, w
+            )
         return text_prior, attn_weights

@@ -32,6 +32,7 @@ from tatt_tpu.models.common import (
     PReLU,
     mish,
     pixel_shuffle,
+    pixel_shuffle_nhwc,
 )
 from tatt_tpu.models.stn import STNHead, tps_transform
 from tatt_tpu.models.tp_interpreter import TPInterpreter
@@ -39,13 +40,31 @@ from tatt_tpu.models.tp_interpreter import TPInterpreter
 
 class GruBlock(nn.Module):
     """1x1 conv then BiGRU over the last spatial axis of the input,
-    batched as B*H sequences (``model/tsrn.py:1067-1084``)."""
+    batched as B*H sequences (``model/tsrn.py:1067-1084``).
+
+    ``data_format='NHWC'``: the sequence view [N*H, W, C] is a pure
+    reshape of the feature-minor activation — the conv<->GRU relayout
+    copies the NCHW path pays (measured ~5 ms/step across the 10
+    GruBlocks, round-3 trace) disappear."""
 
     out_channels: int
+    data_format: str = "NCHW"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = Conv2d(self.out_channels, (1, 1), padding=(0, 0), name="conv1")(x)
+        nhwc = self.data_format == "NHWC"
+        x = Conv2d(
+            self.out_channels,
+            (1, 1),
+            padding=(0, 0),
+            data_format=self.data_format,
+            name="conv1",
+        )(x)
+        if nhwc:
+            n, h, w, c = x.shape
+            seq = x.reshape(n * h, w, c)
+            seq = BiGRU(hidden=self.out_channels // 2, name="gru")(seq)
+            return seq.reshape(n, h, w, c)
         n, c, h, w = x.shape
         seq = x.transpose(0, 2, 3, 1).reshape(n * h, w, c)
         seq = BiGRU(hidden=self.out_channels // 2, name="gru")(seq)
@@ -78,21 +97,28 @@ class RecurrentResidualBlockTL(nn.Module):
     channels: int
     text_channels: int
     bn_copies: int = 1
+    data_format: str = "NCHW"
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, text_emb: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
-        r = Conv2d(self.channels, name="conv1")(x)
-        r = BatchNorm2d(copies=self.bn_copies, name="bn1")(r, train)
+        df = self.data_format
+        nhwc = df == "NHWC"
+        r = Conv2d(self.channels, data_format=df, name="conv1")(x)
+        r = BatchNorm2d(copies=self.bn_copies, data_format=df, name="bn1")(r, train)
         r = mish(r)
-        r = Conv2d(self.channels, name="conv2")(r)
-        r = BatchNorm2d(copies=self.bn_copies, name="bn2")(r, train)
-        cat = jnp.concatenate([r, text_emb.astype(r.dtype)], axis=1)
-        r = GruBlock(self.channels, name="gru1")(cat.transpose(0, 1, 3, 2)).transpose(
-            0, 1, 3, 2
+        r = Conv2d(self.channels, data_format=df, name="conv2")(r)
+        r = BatchNorm2d(copies=self.bn_copies, data_format=df, name="bn2")(r, train)
+        cat = jnp.concatenate(
+            [r, text_emb.astype(r.dtype)], axis=3 if nhwc else 1
         )
-        return GruBlock(self.channels, name="gru2")(x + r)
+        # gru1 scans HEIGHT: swap H<->W around the block
+        swap = (0, 2, 1, 3) if nhwc else (0, 1, 3, 2)
+        r = GruBlock(self.channels, data_format=df, name="gru1")(
+            cat.transpose(*swap)
+        ).transpose(*swap)
+        return GruBlock(self.channels, data_format=df, name="gru2")(x + r)
 
 
 class UpsampleBlock(nn.Module):
@@ -100,10 +126,17 @@ class UpsampleBlock(nn.Module):
 
     channels: int
     up_scale: int = 2
+    data_format: str = "NCHW"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = Conv2d(self.channels * self.up_scale**2, name="conv")(x)
+        x = Conv2d(
+            self.channels * self.up_scale**2,
+            data_format=self.data_format,
+            name="conv",
+        )(x)
+        if self.data_format == "NHWC":
+            return mish(pixel_shuffle_nhwc(x, self.up_scale))
         return mish(pixel_shuffle(x, self.up_scale))
 
 
@@ -486,8 +519,18 @@ class TATT(nn.Module):
         if text_emb is None:
             text_emb = jnp.zeros((x.shape[0], self.text_emb, 1, 26), x.dtype)
 
+        # TPU-native layout: the whole trunk runs feature-minor (NHWC).
+        # Conv activations, the GruBlock sequence views [N*H, W, C], and
+        # the TP decoder's [N, HW, C] flatten then share one physical
+        # layout — the round-3 device trace measured ~5 ms/step of
+        # relayout copies at exactly these seams in the NCHW formulation.
+        # I/O stays NCHW (the reference's tensor contract).
+        xh = x.transpose(0, 2, 3, 1)
         b1 = PReLU(name="block1_act")(
-            Conv2d(ch, (9, 9), padding=(4, 4), name="block1_conv")(x)
+            Conv2d(
+                ch, (9, 9), padding=(4, 4), data_format="NHWC",
+                name="block1_conv",
+            )(xh)
         )
 
         tp_map, pr_weights = TPInterpreter(
@@ -496,6 +539,7 @@ class TATT(nn.Module):
             output_size=(lr_h, lr_w),
             dropout=self.dropout,
             query_gru_mode=self.query_gru_mode,
+            data_format="NHWC",
             name="infoGen",
         )(b1, text_emb, deterministic)
 
@@ -505,20 +549,28 @@ class TATT(nn.Module):
                 ch,
                 self.out_text_channels,
                 bn_copies=self.bn_copies,
+                data_format="NHWC",
                 name=f"srb{i+2}",
             )(h, tp_map, train)
-        h = Conv2d(ch, name="post_conv")(h)
-        h = BatchNorm2d(copies=self.bn_copies, name="post_bn")(h, train)
+        h = Conv2d(ch, data_format="NHWC", name="post_conv")(h)
+        h = BatchNorm2d(
+            copies=self.bn_copies, data_format="NHWC", name="post_bn"
+        )(h, train)
         h = b1 + h
         for i in range(int(math.log2(self.scale_factor))):
-            h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
-        out = Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final_conv")(h)
-        out = jnp.tanh(out)
+            h = UpsampleBlock(ch, 2, data_format="NHWC", name=f"up{i}")(h)
+        out = Conv2d(
+            in_planes, (9, 9), padding=(4, 4), lane_pack=4,
+            data_format="NHWC", name="final_conv",
+        )(h)
+        out = jnp.tanh(out).transpose(0, 3, 1, 2)
 
+        # aux stays NCHW for its consumers (learning_STN image_loss,
+        # visualization); XLA DCEs the transposes when unused.
         aux = {
             "pr_weights": pr_weights,
-            "spatial_t_emb": tp_map,
-            "in_feat": b1,
-            "trans_feat": tp_map,
+            "spatial_t_emb": tp_map.transpose(0, 3, 1, 2),
+            "in_feat": b1.transpose(0, 3, 1, 2),
+            "trans_feat": tp_map.transpose(0, 3, 1, 2),
         }
         return out, aux
