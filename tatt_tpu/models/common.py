@@ -508,3 +508,20 @@ def max_pool_nchw(
         window_strides=(1, 1, *strides),
         padding=[(0, 0), (0, 0), (padding[0],) * 2, (padding[1],) * 2],
     )
+
+
+def max_pool_nhwc(
+    x: jnp.ndarray,
+    window: tuple[int, int],
+    strides: tuple[int, int],
+    padding: tuple[int, int] = (0, 0),
+) -> jnp.ndarray:
+    """Torch-style MaxPool2d on NHWC."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, *window, 1),
+        window_strides=(1, *strides, 1),
+        padding=[(0, 0), (padding[0],) * 2, (padding[1],) * 2, (0, 0)],
+    )

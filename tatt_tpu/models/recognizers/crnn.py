@@ -15,7 +15,7 @@ from flax import linen as nn
 
 from tatt_tpu.kernels.resize import resize_bicubic, rgb_to_luma
 from tatt_tpu.kernels.rnn import BiLSTM
-from tatt_tpu.models.common import BatchNorm2d, Conv2d, Dense, max_pool_nchw
+from tatt_tpu.models.common import BatchNorm2d, Conv2d, Dense, max_pool_nhwc
 
 
 def parse_crnn_input(images: jnp.ndarray, width: int = 100) -> jnp.ndarray:
@@ -50,31 +50,34 @@ class CRNN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         nm = self.nm
-        x = Conv2d(nm[0], (3, 3), padding=(1, 1), name="conv0")(x)
+        # NHWC trunk (NCHW I/O): the [B, T, C] sequence view at the conv ->
+        # BiLSTM seam is then a pure reshape of the feature-minor layout.
+        x = x.transpose(0, 2, 3, 1)
+        x = Conv2d(nm[0], (3, 3), padding=(1, 1), data_format="NHWC", name="conv0")(x)
         x = jnp.maximum(x, 0.0)
-        x = max_pool_nchw(x, (2, 2), (2, 2))
-        x = Conv2d(nm[1], (3, 3), padding=(1, 1), name="conv1")(x)
+        x = max_pool_nhwc(x, (2, 2), (2, 2))
+        x = Conv2d(nm[1], (3, 3), padding=(1, 1), data_format="NHWC", name="conv1")(x)
         x = jnp.maximum(x, 0.0)
-        x = max_pool_nchw(x, (2, 2), (2, 2))
-        x = Conv2d(nm[2], (3, 3), padding=(1, 1), name="conv2")(x)
-        x = BatchNorm2d(name="batchnorm2")(x, train)
+        x = max_pool_nhwc(x, (2, 2), (2, 2))
+        x = Conv2d(nm[2], (3, 3), padding=(1, 1), data_format="NHWC", name="conv2")(x)
+        x = BatchNorm2d(data_format="NHWC", name="batchnorm2")(x, train)
         x = jnp.maximum(x, 0.0)
-        x = Conv2d(nm[3], (3, 3), padding=(1, 1), name="conv3")(x)
+        x = Conv2d(nm[3], (3, 3), padding=(1, 1), data_format="NHWC", name="conv3")(x)
         x = jnp.maximum(x, 0.0)
-        x = max_pool_nchw(x, (2, 2), (2, 1), (0, 1))
-        x = Conv2d(nm[4], (3, 3), padding=(1, 1), name="conv4")(x)
-        x = BatchNorm2d(name="batchnorm4")(x, train)
+        x = max_pool_nhwc(x, (2, 2), (2, 1), (0, 1))
+        x = Conv2d(nm[4], (3, 3), padding=(1, 1), data_format="NHWC", name="conv4")(x)
+        x = BatchNorm2d(data_format="NHWC", name="batchnorm4")(x, train)
         x = jnp.maximum(x, 0.0)
-        x = Conv2d(nm[5], (3, 3), padding=(1, 1), name="conv5")(x)
+        x = Conv2d(nm[5], (3, 3), padding=(1, 1), data_format="NHWC", name="conv5")(x)
         x = jnp.maximum(x, 0.0)
-        x = max_pool_nchw(x, (2, 2), (2, 1), (0, 1))
-        x = Conv2d(nm[6], (2, 2), padding=(0, 0), name="conv6")(x)
-        x = BatchNorm2d(name="batchnorm6")(x, train)
+        x = max_pool_nhwc(x, (2, 2), (2, 1), (0, 1))
+        x = Conv2d(nm[6], (2, 2), padding=(0, 0), data_format="NHWC", name="conv6")(x)
+        x = BatchNorm2d(data_format="NHWC", name="batchnorm6")(x, train)
         x = jnp.maximum(x, 0.0)
 
-        n, c, h, w = x.shape
+        n, h, w, c = x.shape
         assert h == 1, f"conv tower must collapse height to 1, got {h}"
-        seq = x[:, :, 0, :].transpose(0, 2, 1)  # [B, T, 512]
+        seq = x[:, 0, :, :]  # [B, T, 512] — free view in NHWC
         seq = BidirectionalLSTM(self.nh, self.nh, name="rnn0")(seq)
         seq = BidirectionalLSTM(self.nh, self.nclass, name="rnn1")(seq)
         return seq.transpose(1, 0, 2)  # [T, B, nclass]

@@ -75,19 +75,22 @@ class RecurrentResidualBlock(nn.Module):
     """Plain SRB: conv-BN-mish-conv-BN -> height-GRU -> +x -> width-GRU."""
 
     channels: int
+    data_format: str = "NCHW"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        r = Conv2d(self.channels, name="conv1")(x)
-        r = BatchNorm2d(name="bn1")(r, train)
+        df = self.data_format
+        r = Conv2d(self.channels, data_format=df, name="conv1")(x)
+        r = BatchNorm2d(data_format=df, name="bn1")(r, train)
         r = mish(r)
-        r = Conv2d(self.channels, name="conv2")(r)
-        r = BatchNorm2d(name="bn2")(r, train)
+        r = Conv2d(self.channels, data_format=df, name="conv2")(r)
+        r = BatchNorm2d(data_format=df, name="bn2")(r, train)
         # gru1 over height: reference transposes H<->W around GruBlock
-        r = GruBlock(self.channels, name="gru1")(r.transpose(0, 1, 3, 2)).transpose(
-            0, 1, 3, 2
-        )
-        return GruBlock(self.channels, name="gru2")(x + r)
+        swap = (0, 2, 1, 3) if df == "NHWC" else (0, 1, 3, 2)
+        r = GruBlock(self.channels, data_format=df, name="gru1")(
+            r.transpose(*swap)
+        ).transpose(*swap)
+        return GruBlock(self.channels, data_format=df, name="gru2")(x + r)
 
 
 class RecurrentResidualBlockTL(nn.Module):
@@ -185,19 +188,28 @@ class TSRN(nn.Module):
             x = tps_transform(
                 x, ctrl, (self.height // self.scale_factor, self.width // self.scale_factor)
             )
+        # NHWC trunk (see TATT) with NCHW I/O
         b1 = PReLU(name="block1_act")(
-            Conv2d(ch, (9, 9), padding=(4, 4), name="block1_conv")(x)
+            Conv2d(
+                ch, (9, 9), padding=(4, 4), data_format="NHWC",
+                name="block1_conv",
+            )(x.transpose(0, 2, 3, 1))
         )
         h = b1
         for i in range(self.srb_nums):
-            h = RecurrentResidualBlock(ch, name=f"srb{i+2}")(h, train)
-        h = Conv2d(ch, name="post_conv")(h)
-        h = BatchNorm2d(name="post_bn")(h, train)
+            h = RecurrentResidualBlock(ch, data_format="NHWC", name=f"srb{i+2}")(
+                h, train
+            )
+        h = Conv2d(ch, data_format="NHWC", name="post_conv")(h)
+        h = BatchNorm2d(data_format="NHWC", name="post_bn")(h, train)
         h = b1 + h
         for i in range(int(math.log2(self.scale_factor))):
-            h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
-        out = Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final_conv")(h)
-        return jnp.tanh(out)
+            h = UpsampleBlock(ch, 2, data_format="NHWC", name=f"up{i}")(h)
+        out = Conv2d(
+            in_planes, (9, 9), padding=(4, 4), lane_pack=4,
+            data_format="NHWC", name="final_conv",
+        )(h)
+        return jnp.tanh(out).transpose(0, 3, 1, 2)
 
 
 class TSRN_TL(nn.Module):
@@ -229,13 +241,19 @@ class TSRN_TL(nn.Module):
             x = tps_transform(
                 x, ctrl, (self.height // self.scale_factor, self.width // self.scale_factor)
             )
+        # NHWC trunk (see TATT); InfoGen's deconv stack stays NCHW and its
+        # prior map transposes once at the seam.
         b1 = PReLU(name="block1_act")(
-            Conv2d(ch, (9, 9), padding=(4, 4), name="block1_conv")(x)
+            Conv2d(
+                ch, (9, 9), padding=(4, 4), data_format="NHWC",
+                name="block1_conv",
+            )(x.transpose(0, 2, 3, 1))
         )
         tp_raw = InfoGen(
             self.out_text_channels, bn_copies=self.bn_copies, name="infoGen"
         )(text_emb, train)
         tp_map = resize_bilinear(tp_raw, x.shape[2], x.shape[3], align_corners=True)
+        tp_h = tp_map.transpose(0, 2, 3, 1)
 
         h = b1
         for i in range(self.srb_nums):
@@ -243,16 +261,26 @@ class TSRN_TL(nn.Module):
                 ch,
                 self.out_text_channels,
                 bn_copies=self.bn_copies,
+                data_format="NHWC",
                 name=f"srb{i+2}",
-            )(h, tp_map, train)
-        h = Conv2d(ch, name="post_conv")(h)
-        h = BatchNorm2d(copies=self.bn_copies, name="post_bn")(h, train)
+            )(h, tp_h, train)
+        h = Conv2d(ch, data_format="NHWC", name="post_conv")(h)
+        h = BatchNorm2d(
+            copies=self.bn_copies, data_format="NHWC", name="post_bn"
+        )(h, train)
         h = b1 + h
         for i in range(int(math.log2(self.scale_factor))):
-            h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
-        out = Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final_conv")(h)
-        out = jnp.tanh(out)
-        aux = {"spatial_t_emb": tp_raw, "in_feat": b1, "trans_feat": tp_map}
+            h = UpsampleBlock(ch, 2, data_format="NHWC", name=f"up{i}")(h)
+        out = Conv2d(
+            in_planes, (9, 9), padding=(4, 4), lane_pack=4,
+            data_format="NHWC", name="final_conv",
+        )(h)
+        out = jnp.tanh(out).transpose(0, 3, 1, 2)
+        aux = {
+            "spatial_t_emb": tp_raw,
+            "in_feat": b1.transpose(0, 3, 1, 2),
+            "trans_feat": tp_map,
+        }
         return out, aux
 
 
