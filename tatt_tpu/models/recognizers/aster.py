@@ -43,23 +43,29 @@ class AsterBlock(nn.Module):
         residual = x
         out = Conv2d(
             self.planes, (1, 1), strides=self.stride, padding=(0, 0),
-            use_bias=False, name="conv1",
+            use_bias=False, data_format="NHWC", name="conv1",
         )(x)
-        out = BatchNorm2d(name="bn1")(out, train)
+        out = BatchNorm2d(data_format="NHWC", name="bn1")(out, train)
         out = jnp.maximum(out, 0.0)
-        out = Conv2d(self.planes, (3, 3), padding=(1, 1), use_bias=False, name="conv2")(out)
-        out = BatchNorm2d(name="bn2")(out, train)
+        out = Conv2d(
+            self.planes, (3, 3), padding=(1, 1), use_bias=False,
+            data_format="NHWC", name="conv2",
+        )(out)
+        out = BatchNorm2d(data_format="NHWC", name="bn2")(out, train)
         if self.downsample:
             residual = Conv2d(
                 self.planes, (1, 1), strides=self.stride, padding=(0, 0),
-                use_bias=False, name="downsample_conv",
+                use_bias=False, data_format="NHWC", name="downsample_conv",
             )(x)
-            residual = BatchNorm2d(name="downsample_bn")(residual, train)
+            residual = BatchNorm2d(data_format="NHWC", name="downsample_bn")(
+                residual, train
+            )
         return jnp.maximum(out + residual, 0.0)
 
 
 class ResNetAster(nn.Module):
-    """[N,3,32,100] -> [N, 25, 512] sequence features (with 2-layer BiLSTM)."""
+    """[N,3,32,100] -> [N, 25, 512] sequence features (with 2-layer BiLSTM).
+    NHWC trunk (NCHW input): the final [N, W, C] view is a free reshape."""
 
     with_lstm: bool = True
     planes: tuple[int, ...] = (32, 64, 128, 256, 512)
@@ -67,8 +73,12 @@ class ResNetAster(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = Conv2d(self.planes[0], (3, 3), padding=(1, 1), use_bias=False, name="conv0")(x)
-        x = BatchNorm2d(name="bn0")(x, train)
+        x = x.transpose(0, 2, 3, 1)
+        x = Conv2d(
+            self.planes[0], (3, 3), padding=(1, 1), use_bias=False,
+            data_format="NHWC", name="conv0",
+        )(x)
+        x = BatchNorm2d(data_format="NHWC", name="bn0")(x, train)
         x = jnp.maximum(x, 0.0)
         strides = [(2, 2), (2, 2), (2, 1), (2, 1), (2, 1)]
         inplanes = self.planes[0]
@@ -82,8 +92,8 @@ class ResNetAster(nn.Module):
                     planes, s, down, name=f"layer{li+1}_{bi}"
                 )(x, train)
                 inplanes = planes
-        # [N, C, 1, W] -> [N, W, C]
-        seq = x[:, :, 0, :].transpose(0, 2, 1)
+        # [N, 1, W, C] -> [N, W, C]
+        seq = x[:, 0, :, :]
         if self.with_lstm:
             seq = BiLSTM(hidden=256, num_layers=2, name="rnn")(seq)
         return seq

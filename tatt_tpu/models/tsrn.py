@@ -374,23 +374,37 @@ class TSRN_C2F(nn.Module):
         if self.stn and train:
             ctrl = STNHead(name="stn_head")(x, train)
             x = tps_transform(x, ctrl, (x.shape[2], x.shape[3]))
+        # NHWC trunk (see TATT) with NCHW I/O
         b1 = PReLU(name="block1_act")(
-            Conv2d(ch, (9, 9), padding=(4, 4), name="block1_conv")(x)
+            Conv2d(
+                ch, (9, 9), padding=(4, 4), data_format="NHWC",
+                name="block1_conv",
+            )(x.transpose(0, 2, 3, 1))
         )
         h = b1
         for i in range(self.srb_nums):
-            h = RecurrentResidualBlock(ch, name=f"srb{i+2}")(h, train)
-        h = Conv2d(ch, name="post_conv")(h)
-        h = BatchNorm2d(name="post_bn")(h, train)
-        coarse = Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="coarse_proj")(h)
-        cat = jnp.concatenate([b1 + h, coarse], axis=1)
+            h = RecurrentResidualBlock(ch, data_format="NHWC", name=f"srb{i+2}")(
+                h, train
+            )
+        h = Conv2d(ch, data_format="NHWC", name="post_conv")(h)
+        h = BatchNorm2d(data_format="NHWC", name="post_bn")(h, train)
+        coarse = Conv2d(
+            in_planes, (9, 9), padding=(4, 4), lane_pack=4,
+            data_format="NHWC", name="coarse_proj",
+        )(h)
+        cat = jnp.concatenate([b1 + h, coarse], axis=3)
         up = cat
         for i in range(int(math.log2(self.scale_factor))):
-            up = UpsampleBlock(ch + in_planes, 2, name=f"up{i}")(up)
+            up = UpsampleBlock(
+                ch + in_planes, 2, data_format="NHWC", name=f"up{i}"
+            )(up)
         out = jnp.tanh(
-            Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final_conv")(up)
+            Conv2d(
+                in_planes, (9, 9), padding=(4, 4), lane_pack=4,
+                data_format="NHWC", name="final_conv",
+            )(up)
         )
-        return out, coarse
+        return out.transpose(0, 3, 1, 2), coarse.transpose(0, 3, 1, 2)
 
 
 class TSRNEncoder(nn.Module):
