@@ -24,7 +24,7 @@ from tatt_tpu.models.common import (
     BatchNorm2d,
     Conv2d,
     Dense,
-    max_pool_nchw,
+    max_pool_nhwc,
 )
 
 
@@ -128,14 +128,21 @@ class STNHead(nn.Module):
             pools = [(2, 2), (2, 2), (2, 2), (2, 2), (2, 2), None]
         else:
             pools = [(2, 2), (2, 2), (2, 2), (2, 2), (1, 2), None]
+        # NHWC conv tower (NCHW input); flattened back through NCHW order
+        # so fc1's weight layout matches the torch checkpoint.
+        x = x.transpose(0, 2, 3, 1)
         for i, (c, pool) in enumerate(zip(chans, pools)):
-            x = Conv2d(c, (3, 3), padding=(1, 1), name=f"conv{i}")(x)
-            x = BatchNorm2d(copies=self.bn_copies, name=f"bn{i}")(x, train)
+            x = Conv2d(
+                c, (3, 3), padding=(1, 1), data_format="NHWC", name=f"conv{i}"
+            )(x)
+            x = BatchNorm2d(
+                copies=self.bn_copies, data_format="NHWC", name=f"bn{i}"
+            )(x, train)
             x = jnp.maximum(x, 0.0)
             if pool is not None:
-                x = max_pool_nchw(x, pool, pool)
+                x = max_pool_nhwc(x, pool, pool)
         n = x.shape[0]
-        x = x.reshape(n, -1)
+        x = x.transpose(0, 3, 1, 2).reshape(n, -1)
         x = Dense(512, name="fc1")(x)
         x = BatchNorm1d(copies=self.bn_copies, name="fc1_bn")(x, train)
         x = jnp.maximum(x, 0.0)
