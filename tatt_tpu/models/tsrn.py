@@ -289,14 +289,22 @@ class SFTLayer(nn.Module):
     out = fea * (scale(cond) + 1) + shift(cond).  The reference hard-codes
     64ch (works only at default width); we follow the feature width."""
 
+    data_format: str = "NCHW"
+
     @nn.compact
     def __call__(self, fea: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
-        out_ch = fea.shape[1]
+        out_ch = fea.shape[3 if self.data_format == "NHWC" else 1]
 
         def branch(name):
-            h = Conv2d(max(out_ch // 2, 1), (1, 1), padding=(0, 0), name=f"{name}0")(cond)
+            h = Conv2d(
+                max(out_ch // 2, 1), (1, 1), padding=(0, 0),
+                data_format=self.data_format, name=f"{name}0",
+            )(cond)
             h = jnp.where(h >= 0, h, 0.1 * h)  # leaky_relu 0.1
-            return Conv2d(out_ch, (1, 1), padding=(0, 0), name=f"{name}1")(h)
+            return Conv2d(
+                out_ch, (1, 1), padding=(0, 0),
+                data_format=self.data_format, name=f"{name}1",
+            )(h)
 
         scale = branch("SFT_scale_conv")
         shift = branch("SFT_shift_conv")
@@ -331,29 +339,47 @@ class TSRN_TL_SFT(nn.Module):
                 ctrl,
                 (self.height // self.scale_factor, self.width // self.scale_factor),
             )
+        # NHWC trunk (see TATT); InfoGen stays NCHW, its map transposes once.
         b1 = PReLU(name="block1_act")(
-            Conv2d(ch, (9, 9), padding=(4, 4), name="block1_conv")(x)
+            Conv2d(
+                ch, (9, 9), padding=(4, 4), data_format="NHWC",
+                name="block1_conv",
+            )(x.transpose(0, 2, 3, 1))
         )
         tp_raw = InfoGen(
             self.out_text_channels, bn_copies=self.bn_copies, name="infoGen"
         )(text_emb, train)
         tp = resize_bilinear(tp_raw, x.shape[2], x.shape[3], align_corners=True)
-        tp = SFTLayer(name="sft_layer")(b1, tp.astype(b1.dtype))
+        tp = SFTLayer(data_format="NHWC", name="sft_layer")(
+            b1, tp.transpose(0, 2, 3, 1).astype(b1.dtype)
+        )
         h = b1
         for i in range(self.srb_nums):
             h = RecurrentResidualBlockTL(
                 ch,
                 self.out_text_channels,
                 bn_copies=self.bn_copies,
+                data_format="NHWC",
                 name=f"srb{i+2}",
             )(h, tp, train)
-        h = Conv2d(ch, name="post_conv")(h)
-        h = BatchNorm2d(copies=self.bn_copies, name="post_bn")(h, train)
+        h = Conv2d(ch, data_format="NHWC", name="post_conv")(h)
+        h = BatchNorm2d(
+            copies=self.bn_copies, data_format="NHWC", name="post_bn"
+        )(h, train)
         h = b1 + h
         for i in range(int(math.log2(self.scale_factor))):
-            h = UpsampleBlock(ch, 2, name=f"up{i}")(h)
-        out = jnp.tanh(Conv2d(in_planes, (9, 9), padding=(4, 4), lane_pack=4, name="final_conv")(h))
-        return out, {"spatial_t_emb": tp_raw, "in_feat": b1, "trans_feat": tp}
+            h = UpsampleBlock(ch, 2, data_format="NHWC", name=f"up{i}")(h)
+        out = jnp.tanh(
+            Conv2d(
+                in_planes, (9, 9), padding=(4, 4), lane_pack=4,
+                data_format="NHWC", name="final_conv",
+            )(h)
+        ).transpose(0, 3, 1, 2)
+        return out, {
+            "spatial_t_emb": tp_raw,
+            "in_feat": b1.transpose(0, 3, 1, 2),
+            "trans_feat": tp.transpose(0, 3, 1, 2),
+        }
 
 
 class TSRN_C2F(nn.Module):
