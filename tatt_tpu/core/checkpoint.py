@@ -78,6 +78,81 @@ def _to_serializable(x: Any) -> Any:
     return x
 
 
+def is_torch_checkpoint(path: str) -> bool:
+    """True for reference-format ``.pth`` files: torch>=1.6 zip archives
+    or legacy pickle streams (protocol byte ``0x80``).  Our ``.ckpt``
+    msgpack payloads start with a msgpack map byte, never either."""
+    import zipfile
+
+    if zipfile.is_zipfile(path):
+        return True
+    with open(path, "rb") as fh:
+        return fh.read(1) == b"\x80"
+
+
+def resolve_resume_path(path: str) -> str:
+    """``--resume`` accepts a file OR a run directory, like the reference
+    (``interfaces/base.py:398-443``: a dir selects ``model_best_acc_
+    <iter>.pth``).  A dir prefers our native checkpoints, then falls back
+    to reference-style ``.pth`` names by highest numeric suffix."""
+    if not os.path.isdir(path):
+        return path
+    names = set(os.listdir(path))
+    for pick in ("model_best_acc_0.ckpt", "checkpoint.ckpt"):
+        if pick in names:
+            return os.path.join(path, pick)
+    best = [
+        f
+        for f in names
+        if f.startswith("model_best_acc_") and f.endswith(".pth")
+    ]
+    if best:
+
+        def _num(f: str) -> int:
+            try:
+                return int(f[len("model_best_acc_") : -len(".pth")])
+            except ValueError:
+                return -1
+
+        return os.path.join(path, max(best, key=_num))
+    if "checkpoint.pth" in names:
+        return os.path.join(path, "checkpoint.pth")
+    raise FileNotFoundError(f"no checkpoint found under {path}")
+
+
+def merge_variables(dst: dict, src: dict, report: dict, prefix: str = "") -> dict:
+    """Non-strict state-dict merge (the reference loads ``strict=False``,
+    ``base.py:421``): leaves present in both with matching shapes come
+    from ``src``; ``dst``-only leaves keep their current values (counted
+    in ``report['missing']``); ``src``-only entries are recorded in
+    ``report['unexpected']``; shape conflicts in ``report['mismatched']``."""
+    import jax.numpy as jnp
+
+    out: dict = {}
+    for k, v in dst.items():
+        kp = f"{prefix}{k}"
+        s = src.get(k) if isinstance(src, dict) else None
+        if isinstance(v, dict):
+            out[k] = merge_variables(
+                v, s if isinstance(s, dict) else {}, report, kp + "/"
+            )
+        elif s is None or isinstance(s, dict):
+            report["missing"] = report.get("missing", 0) + 1
+            out[k] = v
+        elif tuple(np.shape(s)) != tuple(np.shape(v)):
+            report.setdefault("mismatched", []).append(
+                (kp, tuple(np.shape(s)), tuple(np.shape(v)))
+            )
+            out[k] = v
+        else:
+            out[k] = jnp.asarray(np.asarray(s), dtype=getattr(v, "dtype", None))
+    if isinstance(src, dict):
+        for k in src:
+            if k not in dst:
+                report.setdefault("unexpected", []).append(f"{prefix}{k}")
+    return out
+
+
 def latest_checkpoint(ckpt_dir: str, prefix: str = "checkpoint") -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None

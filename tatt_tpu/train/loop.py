@@ -366,6 +366,15 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def resume(self, path: str) -> None:
+        from tatt_tpu.core.checkpoint import (
+            is_torch_checkpoint,
+            resolve_resume_path,
+        )
+
+        path = resolve_resume_path(path)
+        if is_torch_checkpoint(path):
+            self._resume_torch(path)
+            return
         self.state, info = restore_checkpoint(path, self.state)
         # the finetune stage resumes with a NEW lr (train_TATT.sh:2:
         # --resume + lr 2e-4).  inject_hyperparams keeps the lr inside
@@ -388,6 +397,74 @@ class Trainer:
                 r.get("accuracy", 0.0) for r in self.best_history.values()
             )
         self.log(f"resumed from {path} at step {int(self.state.step)}: {info}")
+
+    def _resume_torch(self, path: str) -> None:
+        """Resume from a reference-format torch ``.pth`` checkpoint
+        (``interfaces/base.py:398-443``): generator weights through the
+        torch importer (params + BN running stats, non-strict like the
+        reference's ``strict=False`` load), student recognizers from
+        ``recognizer_best_acc_<i>.pth`` beside it
+        (``super_resolution.py:528-534``).  Optimizer state starts fresh
+        — the reference never checkpoints it (SURVEY §5.4)."""
+        from tatt_tpu.core import torch_import as ti
+        from tatt_tpu.core.checkpoint import merge_variables
+
+        arch = self.cfg.args.arch
+        if arch != "tatt":
+            raise SystemExit(
+                "--resume from a torch .pth is implemented for --arch=tatt; "
+                f"convert {arch!r} weights via tatt_tpu.core.torch_import "
+                "and restore a native checkpoint instead"
+            )
+        sd = ti.load_state_dict(path)
+        imported = ti.import_tatt(sd, srb_nums=self.sr_model.srb_nums)
+        if getattr(self.sr_model, "query_gru_mode", "width") != "reference":
+            self.log(
+                "note: reference TATT checkpoints were trained under the "
+                "batch_first query-GRU quirk; set MODEL.query_gru_mode="
+                "'reference' to reproduce their inference exactly"
+            )
+        report: dict = {"missing": 0}
+        sr_params = tuple(
+            merge_variables(p, imported.get("params", {}), report)
+            for p in self.state.sr_params
+        )
+        sr_stats = tuple(
+            merge_variables(s, imported.get("batch_stats", {}), report)
+            for s in self.state.sr_batch_stats
+        )
+        if report.get("mismatched"):
+            raise ValueError(
+                f"shape mismatch importing {path}: "
+                f"{report['mismatched'][:5]} (model config differs from "
+                "the checkpoint's; check srb_nums/hidden_units)"
+            )
+        stu_params = list(self.state.student_params)
+        stu_stats = list(self.state.student_batch_stats)
+        for i in range(len(stu_params)):
+            rec = os.path.join(
+                os.path.dirname(path), f"recognizer_best_acc_{i}.pth"
+            )
+            if os.path.exists(rec):
+                rec_vars = ti.import_crnn(rec)
+                stu_params[i] = merge_variables(
+                    stu_params[i], rec_vars.get("params", {}), report
+                )
+                stu_stats[i] = merge_variables(
+                    stu_stats[i], rec_vars.get("batch_stats", {}), report
+                )
+                self.log(f"student {i} resumed from {rec}")
+        self.state = self.state.replace(
+            sr_params=sr_params,
+            sr_batch_stats=sr_stats,
+            student_params=tuple(stu_params),
+            student_batch_stats=tuple(stu_stats),
+        )
+        self.log(
+            f"resumed generator from torch checkpoint {path} "
+            f"({report['missing']} target leaves left at init, "
+            f"{len(report.get('unexpected', []))} checkpoint entries unused)"
+        )
 
     def _scalars(self, step: int, metrics: dict) -> None:
         if self._writer is None:

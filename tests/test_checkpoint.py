@@ -85,3 +85,68 @@ def test_finetune_resume_new_lr(tmp_path):
     # and training continues from the restored counter
     t2.train(max_iters=3)
     assert int(t2.state.step) == 3
+
+
+def test_resolve_resume_path_directory(tmp_path):
+    """--resume accepts a run directory like the reference
+    (base.py:398-443): native .ckpt preferred, else the highest-numbered
+    model_best_acc_<iter>.pth."""
+    from tatt_tpu.core.checkpoint import is_torch_checkpoint, resolve_resume_path
+
+    d = tmp_path / "run"
+    d.mkdir()
+    (d / "model_best_acc_3.pth").write_bytes(b"\x80\x02X")  # pickle magic
+    (d / "model_best_acc_12.pth").write_bytes(b"\x80\x02X")
+    assert resolve_resume_path(str(d)).endswith("model_best_acc_12.pth")
+    assert is_torch_checkpoint(str(d / "model_best_acc_12.pth"))
+
+    (d / "model_best_acc_0.ckpt").write_bytes(b"\x84notmsgpackreally")
+    assert resolve_resume_path(str(d)).endswith("model_best_acc_0.ckpt")
+    assert not is_torch_checkpoint(str(d / "model_best_acc_0.ckpt"))
+    # a plain file path passes through untouched
+    f = d / "model_best_acc_12.pth"
+    assert resolve_resume_path(str(f)) == str(f)
+
+
+def test_torch_pth_resume(tmp_path):
+    """A reference user's trained TATT .pth resumes directly: --resume on
+    the run dir finds model_best_acc_<i>.pth, routes through import_tatt,
+    and fills generator params + BN running stats (non-strict, like the
+    reference's strict=False load)."""
+    import torch
+
+    from tatt_tpu.core.config import Config
+    from tatt_tpu.data.synthetic import SyntheticTextDataset
+    from tatt_tpu.train.loop import Trainer
+    from test_tatt_parity import TorchTATT
+
+    torch.manual_seed(0)
+    tm = TorchTATT(srb_nums=2).eval()
+    run_dir = tmp_path / "TATT"
+    run_dir.mkdir()
+    torch.save(
+        {"state_dict_G": tm.state_dict(), "info": {"arch": "tatt", "iters": 5}},
+        str(run_dir / "model_best_acc_5.pth"),
+    )
+
+    cfg = Config()
+    cfg.args.tiny_tpg = True
+    cfg.args.log_dir = ""
+    cfg.args.mask = True  # the checkpoint's stem conv is 4-channel (RGB+mask)
+    cfg.TRAIN.ckpt_dir = str(tmp_path)
+    cfg.MODEL.srb_nums = 2
+    cfg.args.srb = 2  # full-width TATT (hidden 32 / d 64): the importer's layout
+    trainer = Trainer(cfg, SyntheticTextDataset(n=8))
+
+    trainer.resume(str(run_dir))
+
+    got = np.asarray(trainer.state.sr_params[0]["block1_conv"]["kernel"])
+    want = tm.state_dict()["block1.0.weight"].numpy()
+    np.testing.assert_array_equal(got, want)
+    # BN running stats came along too
+    stats = trainer.state.sr_batch_stats[0]
+    leaves = jax.tree_util.tree_leaves(stats)
+    assert leaves and any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+    # and the model still runs an eval forward with the imported weights
+    summary = trainer.evaluate(SyntheticTextDataset(n=8, seed=3))
+    assert np.isfinite(summary["psnr_avg"])
