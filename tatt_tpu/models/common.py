@@ -4,9 +4,16 @@ Conventions:
   - Layout is NCHW at module boundaries to mirror the reference's tensor
     contracts exactly (shapes in docstrings cite the reference); XLA on TPU
     re-lays out internally, so this costs nothing after compilation.
-  - BatchNorm carries batch stats in a ``batch_stats`` collection; training
-    dynamics match per-replica torch BN (no cross-device sync), which is
-    what ``DataParallel`` gives the reference (SURVEY §7 "BN semantics").
+  - BatchNorm carries batch stats in a ``batch_stats`` collection.  On a
+    single device the dynamics match torch BN exactly — and the reference
+    SHIPS ``ngpu: 1`` (config/super_resolution.yaml), so the canonical
+    recipe is single-replica BN, which we reproduce bit-for-close.  On a
+    multi-device mesh the jitted batch-mean is a global reduction, i.e.
+    sync-BN semantics — a deliberate deviation from ``DataParallel``'s
+    per-replica stats (whose running-stat updates torch silently drops on
+    every replica but device 0): sync-BN is the better-defined scaling
+    behavior, and XLA folds the tiny per-channel all-reduces into the
+    gradient collective schedule.
   - Initializers mirror torch defaults (kaiming-uniform conv kernels,
     uniform fan-in bias) so training starts from the same distribution.
 """
