@@ -107,14 +107,17 @@ def resolve_resume_path(path: str) -> str:
         if f.startswith("model_best_acc_") and f.endswith(".pth")
     ]
     if best:
-
+        # the reference names these per MODEL-COPY index i (it loads
+        # model_best_acc_<i>.pth into model_list[i], base.py:403-423);
+        # copy 0 is the canonical first model.  Trainer._resume_torch
+        # picks up the per-i siblings for stu_iter>1 runs.
         def _num(f: str) -> int:
             try:
                 return int(f[len("model_best_acc_") : -len(".pth")])
             except ValueError:
-                return -1
+                return 1 << 30
 
-        return os.path.join(path, max(best, key=_num))
+        return os.path.join(path, min(best, key=_num))
     if "checkpoint.pth" in names:
         return os.path.join(path, "checkpoint.pth")
     raise FileNotFoundError(f"no checkpoint found under {path}")

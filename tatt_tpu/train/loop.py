@@ -416,22 +416,39 @@ class Trainer:
                 f"convert {arch!r} weights via tatt_tpu.core.torch_import "
                 "and restore a native checkpoint instead"
             )
-        sd = ti.load_state_dict(path)
-        imported = ti.import_tatt(sd, srb_nums=self.sr_model.srb_nums)
         if getattr(self.sr_model, "query_gru_mode", "width") != "reference":
             self.log(
                 "note: reference TATT checkpoints were trained under the "
                 "batch_first query-GRU quirk; set MODEL.query_gru_mode="
                 "'reference' to reproduce their inference exactly"
             )
+
+        # the reference's dir-resume loads model_best_acc_<i>.pth into
+        # model_list[i] (base.py:403-423): prefer the per-copy sibling
+        # when it exists, else load the resolved file into every copy
+        def _copy_path(i: int) -> str:
+            sib = os.path.join(os.path.dirname(path), f"model_best_acc_{i}.pth")
+            return sib if os.path.exists(sib) else path
+
         report: dict = {"missing": 0}
+        imported_by_path: dict = {}
+
+        def _imported(p: str) -> dict:
+            if p not in imported_by_path:
+                imported_by_path[p] = ti.import_tatt(
+                    ti.load_state_dict(p), srb_nums=self.sr_model.srb_nums
+                )
+            return imported_by_path[p]
+
         sr_params = tuple(
-            merge_variables(p, imported.get("params", {}), report)
-            for p in self.state.sr_params
+            merge_variables(p, _imported(_copy_path(i)).get("params", {}), report)
+            for i, p in enumerate(self.state.sr_params)
         )
         sr_stats = tuple(
-            merge_variables(s, imported.get("batch_stats", {}), report)
-            for s in self.state.sr_batch_stats
+            merge_variables(
+                s, _imported(_copy_path(i)).get("batch_stats", {}), report
+            )
+            for i, s in enumerate(self.state.sr_batch_stats)
         )
         if report.get("mismatched"):
             raise ValueError(

@@ -97,7 +97,8 @@ def test_resolve_resume_path_directory(tmp_path):
     d.mkdir()
     (d / "model_best_acc_3.pth").write_bytes(b"\x80\x02X")  # pickle magic
     (d / "model_best_acc_12.pth").write_bytes(b"\x80\x02X")
-    assert resolve_resume_path(str(d)).endswith("model_best_acc_12.pth")
+    # reference names are per MODEL-COPY index: lowest wins (copy 0 first)
+    assert resolve_resume_path(str(d)).endswith("model_best_acc_3.pth")
     assert is_torch_checkpoint(str(d / "model_best_acc_12.pth"))
 
     (d / "model_best_acc_0.ckpt").write_bytes(b"\x84notmsgpackreally")
