@@ -25,6 +25,59 @@ except Exception:  # pragma: no cover - cv2 is in the base image
     _cv2 = None
 
 
+class NpImage:
+    """A decoded RGB uint8 array with the thin PIL surface the pipeline
+    touches.  ``np.asarray(·)`` is ZERO-copy (``__array_interface__``);
+    ``.resize``/``.convert`` materialize a real PIL image so resampling
+    and colorspace semantics stay PIL-bit-exact.  Avoids the
+    fromarray->tobytes->asarray round-trip that cost ~35% of host batch
+    time (cv2 decode hands us the array already)."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr) -> None:
+        self.arr = arr
+
+    @property
+    def size(self) -> tuple[int, int]:
+        return (self.arr.shape[1], self.arr.shape[0])
+
+    @property
+    def width(self) -> int:
+        return self.arr.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.arr.shape[0]
+
+    @property
+    def __array_interface__(self):
+        return self.arr.__array_interface__
+
+    def to_pil(self) -> Image.Image:
+        return Image.fromarray(self.arr)
+
+    def resize(self, size, resample=Image.BICUBIC) -> Image.Image:
+        return self.to_pil().resize(size, resample)
+
+    def convert(self, mode: str) -> Image.Image:
+        return self.to_pil().convert(mode)
+
+    def save(self, *a, **kw) -> None:
+        self.to_pil().save(*a, **kw)
+
+
+def buf2rgb(buf: bytes):
+    """Decode to an HWC RGB uint8 ndarray (cv2 fast path, PIL fallback)."""
+    import numpy as _np
+
+    if _cv2 is not None and len(buf) > 3 and buf[:2] == b"\xff\xd8":
+        arr = _cv2.imdecode(_np.frombuffer(buf, _np.uint8), _cv2.IMREAD_COLOR)
+        if arr is not None:
+            return _cv2.cvtColor(arr, _cv2.COLOR_BGR2RGB)
+    return _np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+
+
 def buf2pil(buf: bytes) -> Image.Image:
     if _cv2 is not None and len(buf) > 3 and buf[:2] == b"\xff\xd8":
         import numpy as _np
@@ -109,13 +162,13 @@ class LmdbTextDataset:
         hr_buf = self.env.get(b"image_hr-%09d" % idx)
         rng = self._sample_rng(index)
         try:
-            img_hr = buf2pil(hr_buf)
+            img_hr = NpImage(buf2rgb(hr_buf))
             if self.manmade_degrade:
                 from tatt_tpu.data.degradation import manmade_degradation
 
                 img_lr = manmade_degradation(img_hr, rng)
             else:
-                img_lr = buf2pil(self.env.get(b"image_lr-%09d" % idx))
+                img_lr = NpImage(buf2rgb(self.env.get(b"image_lr-%09d" % idx)))
             if self.cutblur and not self.test:
                 img_lr = self._cutblur(img_hr, img_lr, rng)
         except (TypeError, OSError):
