@@ -63,13 +63,16 @@ def batch_normalize(
             for im in imgs
         ]
     )  # [B, H, W, 3] uint8
-    tensor = arrs.astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+    scaled = arrs.astype(np.float32)
+    scaled /= 255.0  # in-place: same f32 bits as the former `astype / 255.0`
+    b, h, w, _ = arrs.shape
+    out = np.empty((b, 4 if mask else 3, h, w), np.float32)
+    out[:, :3] = scaled.transpose(0, 3, 1, 2)
     if mask:
         gray = _pil_luma_u8(arrs).astype(np.float32)  # [B, H, W]
         thres = gray.mean(axis=(1, 2), keepdims=True)
-        m = (gray <= thres).astype(np.float32)
-        tensor = np.concatenate([tensor, m[:, None]], axis=1)
-    return tensor
+        np.less_equal(gray, thres, out=out[:, 3])
+    return out
 
 
 def resize_normalize(
