@@ -5,22 +5,33 @@ and buffer bookkeeping per timestep — 50-100x the arithmetic of the tiny
 per-step matmul — and the 10 GruBlocks dominate the TATT step.  This
 kernel runs the whole recurrence in ONE pallas_call:
 
-  - grid = (L,): TPU grid steps execute sequentially, so the hidden state
-    lives in a VMEM scratch carried across steps; Pallas double-buffers
-    the per-step gate blocks from HBM automatically.
-  - both directions are stacked on a leading axis (inputs pre-flipped by
-    the caller), so one kernel handles fwd+bwd halves.
-  - layout is [L, 2, 3H, R] / [2, H, R]: rows R on lanes, gates on
-    sublanes, so the per-step matmul is [3H, H] @ [H, R] on the MXU.
+  - grid = (row tiles, time chunks): TPU grid steps execute sequentially,
+    so the hidden state lives in a VMEM scratch carried across steps;
+    Pallas double-buffers the per-step gate blocks from HBM automatically.
+  - both directions run in the same kernel.  Direction 1 (the backward
+    scan) is handled by MIRRORED BLOCK INDEX MAPS: its gate blocks are
+    read at time chunk ``nt-1-t`` and its outputs written there, with the
+    in-chunk step order reversed.  Nothing is ever materialized
+    time-flipped in HBM — the round-3 trace showed the caller-side
+    ``stack([x, flip(x)])`` relayout costing ~1.1 ms/step across the 10
+    GruBlocks, all of it pure data movement.
+  - layout is [.., 3H, R] per (direction, time): rows R on lanes, gates
+    on sublanes, so the per-step matmul is [3H, H] @ [H, R] on the MXU.
 
 Training runs through a custom VJP whose backward is a second kernel
-scanning time in reverse: it recomputes the gates from the saved hidden
-states (one extra matmul) instead of materializing per-step activations,
-accumulates dW_hh/db_hh in VMEM scratch, and emits per-step d(gates_x)
-for XLA to turn into dW_ih / dx with one large matmul.
+scanning each direction's time order in reverse: it recomputes the gates
+from the saved hidden states (one extra matmul) instead of materializing
+per-step activations, accumulates dW_hh/db_hh in VMEM scratch, and emits
+per-step d(gates_x) from which the wrapper forms dx / dW with two large
+matmuls (one per direction — no stacked [2,..] relayout).
 
 Input projections stay OUTSIDE the kernel — one big MXU matmul over all
-timesteps is exactly what XLA is best at.
+timesteps is exactly what XLA is best at.  ``compose_input_projection``
+additionally folds a preceding 1x1 conv (GruBlock's ``conv1``,
+``model/tsrn.py:1067-1084``) into that matmul: conv and projection are
+adjacent linear maps with no nonlinearity between, so
+``(x @ P^T) @ W_ih^T == x @ (W_ih P)^T`` exactly — one MXU pass instead
+of two, no intermediate activation round-trip through HBM.
 """
 
 from __future__ import annotations
@@ -33,11 +44,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gru_fwd_kernel(w_ref, b_ref, gx_ref, ys_ref, h_ref):
-    """One grid step = CHUNK timesteps.  w: [2, 3H, H]; b: [2, 3H, 1];
-    gx block: [C, 2, 3H, R]; ys block: [C, 2, H, R]; h scratch: [2, H, R]."""
+def compose_input_projection(w_ih, b_ih, pre_kernel=None, pre_bias=None):
+    """Fold a preceding linear map ``y = x @ P^T + pb`` (a 1x1 conv with
+    OI matrix ``P`` [Cmid, Cin]) into GRU/LSTM input projections.
+
+    Returns effective ``(w [2, G, Cin], b [2, G])`` in the params' dtype
+    (f32), computed once per step — the contraction is tiny relative to
+    the activations it saves."""
+    if pre_kernel is None:
+        return w_ih, b_ih
+    w_eff = jnp.einsum("dgm,mi->dgi", w_ih, pre_kernel)
+    b_eff = b_ih
+    if pre_bias is not None:
+        b_eff = b_eff + jnp.einsum("dgm,m->dg", w_ih, pre_bias)
+    return w_eff, b_eff
+
+
+def _gru_fwd_kernel(w_ref, b_ref, gxf_ref, gxb_ref, ysf_ref, ysb_ref, h_ref):
+    """One grid step = CHUNK timesteps of both directions.
+    w: [2, 3H, H]; b: [2, 3H, 1]; gxf/gxb blocks: [1, C, 3H, R] (dir 0 at
+    chunk t, dir 1 at chunk nt-1-t); ysf/ysb blocks: [C, H, R]; h scratch:
+    [2, H, R].  Direction 1 walks its chunk back-to-front so its hidden
+    state consumes inputs in descending time while every output lands at
+    its forward-time slot."""
     t = pl.program_id(1)  # time-chunk index (fastest grid dim)
-    chunk = gx_ref.shape[0]
+    chunk = gxf_ref.shape[1]
     hdim = h_ref.shape[1]
 
     @pl.when(t == 0)
@@ -45,43 +76,73 @@ def _gru_fwd_kernel(w_ref, b_ref, gx_ref, ys_ref, h_ref):
         h_ref[...] = jnp.zeros_like(h_ref)
 
     for s in range(chunk):
-        for d in range(2):
-            h = h_ref[d]  # [H, R]
-            gh = (
-                jnp.dot(w_ref[d], h, preferred_element_type=jnp.float32)
-                + b_ref[d]
-            )  # [3H, R]
-            gx = gx_ref[s, d]  # [3H, R]
-            xr, xz, xn = (
-                gx[0:hdim],
-                gx[hdim : 2 * hdim],
-                gx[2 * hdim : 3 * hdim],
-            )
-            hr, hz, hn = (
-                gh[0:hdim],
-                gh[hdim : 2 * hdim],
-                gh[2 * hdim : 3 * hdim],
-            )
-            r = jax.nn.sigmoid(xr + hr)
-            z = jax.nn.sigmoid(xz + hz)
-            n = jnp.tanh(xn + r * hn)
-            h_new = (1.0 - z) * n + z * h
-            h_ref[d] = h_new
-            ys_ref[s, d] = h_new.astype(ys_ref.dtype)
+        # direction 0: forward time
+        h0 = h_ref[0]
+        gh = (
+            jnp.dot(w_ref[0], h0, preferred_element_type=jnp.float32)
+            + b_ref[0]
+        )
+        h0_new = _gru_combine(gxf_ref[0, s], gh, h0, hdim)
+        h_ref[0] = h0_new
+        ysf_ref[s] = h0_new.astype(ysf_ref.dtype)
+        # direction 1: descending time within the mirrored chunk
+        s2 = chunk - 1 - s
+        h1 = h_ref[1]
+        gh = (
+            jnp.dot(w_ref[1], h1, preferred_element_type=jnp.float32)
+            + b_ref[1]
+        )
+        h1_new = _gru_combine(gxb_ref[0, s2], gh, h1, hdim)
+        h_ref[1] = h1_new
+        ysb_ref[s2] = h1_new.astype(ysb_ref.dtype)
+
+
+def _gru_combine(gx, gh, h, hdim):
+    xr, xz, xn = gx[0:hdim], gx[hdim : 2 * hdim], gx[2 * hdim : 3 * hdim]
+    hr, hz, hn = gh[0:hdim], gh[hdim : 2 * hdim], gh[2 * hdim : 3 * hdim]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+def _gru_bwd_step(w_d, b_d, gx, h_prev, dh_in, hdim):
+    """Shared backward cell: returns (d_gx, dh_prev, d_gh)."""
+    gh = jnp.dot(w_d, h_prev, preferred_element_type=jnp.float32) + b_d
+    xr, xz, xn = gx[0:hdim], gx[hdim : 2 * hdim], gx[2 * hdim : 3 * hdim]
+    hr, hz, hn = gh[0:hdim], gh[hdim : 2 * hdim], gh[2 * hdim : 3 * hdim]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+
+    dz = dh_in * (h_prev - n) * z * (1.0 - z)
+    dn = dh_in * (1.0 - z) * (1.0 - n * n)
+    dr = dn * hn * r * (1.0 - r)
+    d_ghn = dn * r
+    # hidden-gate grads: [dr, dz, dn*r]; input-gate grads differ in the n
+    # slot (xn enters pre-tanh directly): [dr, dz, dn]
+    d_gh = jnp.concatenate([dr, dz, d_ghn], axis=0)  # [3H, R]
+    d_gx = jnp.concatenate([dr, dz, dn], axis=0)
+    dh_prev = dh_in * z + jnp.dot(
+        w_d.T, d_gh, preferred_element_type=jnp.float32
+    )
+    return d_gx, dh_prev, d_gh
 
 
 def _gru_bwd_kernel(
-    w_ref, b_ref, gx_ref, ys_prev_ref, dys_ref, dgx_ref, dw_ref, db_ref,
-    dh_ref,
+    w_ref, b_ref, gxf_ref, gxb_ref, ypf_ref, ypb_ref, dyf_ref, dyb_ref,
+    dgxf_ref, dgxb_ref, dw_ref, db_ref, dh_ref,
 ):
-    """Reverse-time grid step of CHUNK timesteps.  Grid index i maps to
-    chunk (nchunks-1-i); within the chunk, time runs backwards.
-    ``ys_prev`` is the hidden state sequence shifted by one (zeros at t=0,
-    built by the caller), so no masking is needed.  dw/db accumulate
-    across the whole grid in f32 output blocks."""
+    """Backward grid step of CHUNK timesteps, each direction walking its
+    own processing order in reverse: dir 0 reads chunks ``nt-1-i`` with
+    in-chunk time descending; dir 1 reads chunks ``i`` ascending.
+    ``ypf/ypb`` hold each direction's previous-hidden-state sequence in
+    forward-time indexing (zeros at the direction's seed step, built by
+    the caller).  dw/db accumulate across the whole grid in f32 output
+    blocks."""
     rt = pl.program_id(0)
-    i = pl.program_id(1)  # reversed time-chunk index (fastest grid dim)
-    chunk = gx_ref.shape[0]
+    i = pl.program_id(1)  # fastest grid dim
+    chunk = gxf_ref.shape[1]
     hdim = dh_ref.shape[1]
 
     @pl.when(i == 0)
@@ -93,40 +154,32 @@ def _gru_bwd_kernel(
         dw_ref[...] = jnp.zeros_like(dw_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
 
-    for s in range(chunk - 1, -1, -1):
-        for d in range(2):
-            h_prev = ys_prev_ref[s, d].astype(jnp.float32)
-            gh = (
-                jnp.dot(w_ref[d], h_prev, preferred_element_type=jnp.float32)
-                + b_ref[d]
-            )
-            gx = gx_ref[s, d]
-            xr, xz, xn = gx[0:hdim], gx[hdim : 2 * hdim], gx[2 * hdim : 3 * hdim]
-            hr, hz, hn = gh[0:hdim], gh[hdim : 2 * hdim], gh[2 * hdim : 3 * hdim]
-            r = jax.nn.sigmoid(xr + hr)
-            z = jax.nn.sigmoid(xz + hz)
-            n = jnp.tanh(xn + r * hn)
-
-            dh = dh_ref[d] + dys_ref[s, d].astype(jnp.float32)
-            dz = dh * (h_prev - n) * z * (1.0 - z)
-            dn = dh * (1.0 - z) * (1.0 - n * n)
-            dr = dn * hn * r * (1.0 - r)
-            d_ghn = dn * r
-            # hidden-gate grads: [dr, dz, dn*r]; input-gate grads differ in
-            # the n slot (xn enters pre-tanh directly): [dr, dz, dn]
-            d_gh = jnp.concatenate([dr, dz, d_ghn], axis=0)  # [3H, R]
-            d_gx = jnp.concatenate([dr, dz, dn], axis=0)
-            dgx_ref[s, d] = d_gx.astype(dgx_ref.dtype)
-
-            dw_ref[d] += jnp.dot(
-                d_gh, h_prev.T, preferred_element_type=jnp.float32
-            )
-            db_ref[d] += d_gh.sum(axis=1, keepdims=True)
-
-            dh_prev = dh * z + jnp.dot(
-                w_ref[d].T, d_gh, preferred_element_type=jnp.float32
-            )
-            dh_ref[d] = dh_prev
+    for s in range(chunk):
+        # direction 0: reverse of forward time
+        sd = chunk - 1 - s
+        h_prev = ypf_ref[sd].astype(jnp.float32)
+        dh_in = dh_ref[0] + dyf_ref[sd].astype(jnp.float32)
+        d_gx, dh_prev, d_gh = _gru_bwd_step(
+            w_ref[0], b_ref[0], gxf_ref[0, sd], h_prev, dh_in, hdim
+        )
+        dgxf_ref[sd] = d_gx.astype(dgxf_ref.dtype)
+        dw_ref[0] += jnp.dot(
+            d_gh, h_prev.T, preferred_element_type=jnp.float32
+        )
+        db_ref[0] += d_gh.sum(axis=1, keepdims=True)
+        dh_ref[0] = dh_prev
+        # direction 1: reverse of its descending-time processing order
+        h_prev = ypb_ref[s].astype(jnp.float32)
+        dh_in = dh_ref[1] + dyb_ref[s].astype(jnp.float32)
+        d_gx, dh_prev, d_gh = _gru_bwd_step(
+            w_ref[1], b_ref[1], gxb_ref[0, s], h_prev, dh_in, hdim
+        )
+        dgxb_ref[s] = d_gx.astype(dgxb_ref.dtype)
+        dw_ref[1] += jnp.dot(
+            d_gh, h_prev.T, preferred_element_type=jnp.float32
+        )
+        db_ref[1] += d_gh.sum(axis=1, keepdims=True)
+        dh_ref[1] = dh_prev
 
 
 def _pick_tiles(length: int, gdim: int, rows: int, backward: bool):
@@ -141,7 +194,7 @@ def _pick_tiles(length: int, gdim: int, rows: int, backward: bool):
     # bytes streamed per chunk unit (x2 directions, f32):
     per_c = 2 * (gdim + hdim) * row_block * 4  # fwd: gx in + ys out
     if backward:
-        per_c = 2 * (2 * gdim + 3 * hdim) * row_block * 4  # + dgx, ys_prev, dys
+        per_c = 2 * (2 * gdim + 3 * hdim) * row_block * 4  # + dgx, yp, dy
     budget = 5 * 1024 * 1024  # x2 double-buffering ~ 10MB, rest for scratch
     chunk = 1
     for c in range(1, length + 1):
@@ -150,85 +203,149 @@ def _pick_tiles(length: int, gdim: int, rows: int, backward: bool):
     return row_block, chunk
 
 
-def _fwd_call(gates_x: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
-              interpret: bool) -> jnp.ndarray:
-    length, _, gdim, rows = gates_x.shape
+def _fwd_call(gates: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
+              interpret: bool):
+    """gates: [2, L, 3H, R] in FORWARD time for both directions."""
+    _, length, gdim, rows = gates.shape
     hdim = gdim // 3
     row_block, chunk = _pick_tiles(length, gdim, rows, backward=False)
-    return pl.pallas_call(
+    nt = length // chunk
+    ysf, ysb = pl.pallas_call(
         _gru_fwd_kernel,
-        grid=(rows // row_block, length // chunk),
+        grid=(rows // row_block, nt),
         in_specs=[
             pl.BlockSpec((2, gdim, hdim), lambda r, t: (0, 0, 0)),
             pl.BlockSpec((2, gdim, 1), lambda r, t: (0, 0, 0)),
-            pl.BlockSpec((chunk, 2, gdim, row_block), lambda r, t: (t, 0, 0, r)),
+            pl.BlockSpec(
+                (1, chunk, gdim, row_block), lambda r, t: (0, t, 0, r)
+            ),
+            pl.BlockSpec(
+                (1, chunk, gdim, row_block),
+                lambda r, t: (1, nt - 1 - t, 0, r),
+            ),
         ],
-        out_specs=pl.BlockSpec(
-            (chunk, 2, hdim, row_block), lambda r, t: (t, 0, 0, r)
-        ),
-        out_shape=jax.ShapeDtypeStruct((length, 2, hdim, rows), gates_x.dtype),
+        out_specs=[
+            pl.BlockSpec((chunk, hdim, row_block), lambda r, t: (t, 0, r)),
+            pl.BlockSpec(
+                (chunk, hdim, row_block), lambda r, t: (nt - 1 - t, 0, r)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((length, hdim, rows), gates.dtype),
+            jax.ShapeDtypeStruct((length, hdim, rows), gates.dtype),
+        ],
         scratch_shapes=[pltpu.VMEM((2, hdim, row_block), jnp.float32)],
         interpret=interpret,
-    )(w_hh, b_hh.reshape(2, gdim, 1), gates_x)
+    )(w_hh, b_hh.reshape(2, gdim, 1), gates, gates)
+    return ysf, ysb
 
 
-def _bwd_call(w_hh, b_hh, gates_x, ys, dys, interpret: bool):
-    length, _, gdim, rows = gates_x.shape
+def _bwd_call(w_hh, b_hh, gates, ypf, ypb, dyf, dyb, interpret: bool):
+    _, length, gdim, rows = gates.shape
     hdim = gdim // 3
     row_block, chunk = _pick_tiles(length, gdim, rows, backward=True)
-    nchunks = length // chunk
-    # h_{t-1} sequence: zeros at t=0 (one XLA pad+slice, no kernel masking)
-    ys_prev = jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
-    rev = lambda r, i: (nchunks - 1 - i, 0, 0, r)
-    dgx, dw, db = pl.pallas_call(
+    nt = length // chunk
+    fwd_t = lambda r, i: (nt - 1 - i, 0, r)  # dir-0 refs: reverse order
+    bwd_t = lambda r, i: (i, 0, r)  # dir-1 refs: forward order
+    dgxf, dgxb, dw, db = pl.pallas_call(
         _gru_bwd_kernel,
-        grid=(rows // row_block, nchunks),
+        grid=(rows // row_block, nt),
         in_specs=[
             pl.BlockSpec((2, gdim, hdim), lambda r, i: (0, 0, 0)),
             pl.BlockSpec((2, gdim, 1), lambda r, i: (0, 0, 0)),
-            pl.BlockSpec((chunk, 2, gdim, row_block), rev),
-            pl.BlockSpec((chunk, 2, hdim, row_block), rev),
-            pl.BlockSpec((chunk, 2, hdim, row_block), rev),
+            pl.BlockSpec(
+                (1, chunk, gdim, row_block),
+                lambda r, i: (0, nt - 1 - i, 0, r),
+            ),
+            pl.BlockSpec(
+                (1, chunk, gdim, row_block), lambda r, i: (1, i, 0, r)
+            ),
+            pl.BlockSpec((chunk, hdim, row_block), fwd_t),
+            pl.BlockSpec((chunk, hdim, row_block), bwd_t),
+            pl.BlockSpec((chunk, hdim, row_block), fwd_t),
+            pl.BlockSpec((chunk, hdim, row_block), bwd_t),
         ],
         out_specs=[
-            pl.BlockSpec((chunk, 2, gdim, row_block), rev),
+            pl.BlockSpec((chunk, gdim, row_block), fwd_t),
+            pl.BlockSpec((chunk, gdim, row_block), bwd_t),
             pl.BlockSpec((2, gdim, hdim), lambda r, i: (0, 0, 0)),
             pl.BlockSpec((2, gdim, 1), lambda r, i: (0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((length, 2, gdim, rows), gates_x.dtype),
+            jax.ShapeDtypeStruct((length, gdim, rows), gates.dtype),
+            jax.ShapeDtypeStruct((length, gdim, rows), gates.dtype),
             jax.ShapeDtypeStruct((2, gdim, hdim), jnp.float32),
             jax.ShapeDtypeStruct((2, gdim, 1), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((2, hdim, row_block), jnp.float32)],
         interpret=interpret,
-    )(w_hh, b_hh.reshape(2, gdim, 1), gates_x, ys_prev, dys)
-    return dgx, dw, db.reshape(2, gdim)
+    )(w_hh, b_hh.reshape(2, gdim, 1), gates, gates, ypf, ypb, dyf, dyb)
+    return dgxf, dgxb, dw, db.reshape(2, gdim)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def gru_recurrence(gates_x, w_hh, b_hh, interpret=False):
-    """Bidirectional GRU recurrence.
-
-    ``gates_x``: [L, 2, 3H, R] precomputed input projections (direction 1
-    already time-flipped); ``w_hh``: [2, 3H, H]; ``b_hh``: [2, 3H].
-    Returns hidden states [L, 2, H, R].
-    """
-    return _fwd_call(gates_x, w_hh, b_hh, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def bigru_core(x, w_eff, b_eff, w_hh, b_hh, interpret=False):
+    """Bidirectional GRU over ``x`` [R, L, In] with pre-composed input
+    projections ``w_eff`` [2, 3H, In] / ``b_eff`` [2, 3H].  Returns
+    [R, L, 2H]."""
+    out, _ = _core_fwd_impl(x, w_eff, b_eff, w_hh, b_hh, interpret)
+    return out
 
 
-def _gru_fwd(gates_x, w_hh, b_hh, interpret):
-    ys = _fwd_call(gates_x, w_hh, b_hh, interpret)
-    return ys, (gates_x, w_hh, b_hh, ys)
+def _core_fwd_impl(x, w_eff, b_eff, w_hh, b_hh, interpret):
+    dt = x.dtype
+    # one MXU pass for all timesteps of BOTH directions, no flipped copy
+    gates = (
+        jnp.einsum("rli,dgi->dlgr", x, w_eff.astype(dt))
+        + b_eff.astype(dt)[:, None, :, None]
+    )  # [2, L, 3H, R]
+    ysf, ysb = _fwd_call(gates, w_hh.astype(dt), b_hh.astype(dt), interpret)
+    out = jnp.concatenate([ysf, ysb], axis=1)  # [L, 2H, R]
+    out = out.transpose(2, 0, 1)  # [R, L, 2H]
+    return out, (x, w_eff, b_eff, gates, ysf, ysb, w_hh, b_hh)
 
 
-def _gru_bwd(interpret, residuals, dys):
-    gates_x, w_hh, b_hh, ys = residuals
-    dgx, dw, db = _bwd_call(w_hh, b_hh, gates_x, ys, dys, interpret)
-    return dgx, dw.astype(w_hh.dtype), db.astype(b_hh.dtype)
+def _core_fwd(x, w_eff, b_eff, w_hh, b_hh, interpret):
+    out, res = _core_fwd_impl(x, w_eff, b_eff, w_hh, b_hh, interpret)
+    return out, res
 
 
-gru_recurrence.defvjp(_gru_fwd, _gru_bwd)
+def _core_bwd(interpret, res, dout):
+    x, w_eff, b_eff, gates, ysf, ysb, w_hh, b_hh = res
+    dt = gates.dtype
+    hdim = w_hh.shape[-1]
+    dys = dout.astype(dt).transpose(1, 2, 0)  # [L, 2H, R]
+    dyf, dyb = dys[:, :hdim], dys[:, hdim:]
+    # previous-hidden sequences in forward-time indexing: dir 0 seeds at
+    # t=0, dir 1 (descending scan) seeds at t=L-1
+    ypf = jnp.concatenate([jnp.zeros_like(ysf[:1]), ysf[:-1]], axis=0)
+    ypb = jnp.concatenate([ysb[1:], jnp.zeros_like(ysb[:1])], axis=0)
+    dgxf, dgxb, dw_hh, db_hh = _bwd_call(
+        w_hh.astype(dt), b_hh.astype(dt), gates, ypf, ypb, dyf, dyb,
+        interpret,
+    )
+    # input-projection backward per direction — two large matmuls, no
+    # stacked [2, ...] dgx relayout in HBM
+    dx = jnp.einsum("lgr,gi->rli", dgxf, w_eff[0].astype(dt)) + jnp.einsum(
+        "lgr,gi->rli", dgxb, w_eff[1].astype(dt)
+    )
+    dw_eff = jnp.stack(
+        [
+            jnp.einsum("lgr,rli->gi", dgxf, x),
+            jnp.einsum("lgr,rli->gi", dgxb, x),
+        ]
+    )
+    db_eff = jnp.stack([dgxf.sum(axis=(0, 2)), dgxb.sum(axis=(0, 2))])
+    return (
+        dx.astype(x.dtype),
+        dw_eff.astype(w_eff.dtype),
+        db_eff.astype(b_eff.dtype),
+        dw_hh.astype(w_hh.dtype),
+        db_hh.astype(b_hh.dtype),
+    )
+
+
+bigru_core.defvjp(_core_fwd, _core_bwd)
 
 
 def bigru_pallas(
@@ -238,24 +355,12 @@ def bigru_pallas(
     b_ih: jnp.ndarray,
     b_hh: jnp.ndarray,
     interpret: bool = False,
+    pre_kernel: jnp.ndarray | None = None,
+    pre_bias: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Drop-in for :func:`tatt_tpu.kernels.rnn.bigru_apply` backed by the
-    fused kernel.  ``x``: [R, L, In] -> [R, L, 2H]."""
-    rows, length, _ = x.shape
-    hdim = w_hh.shape[-1]
-    dt = x.dtype
-
-    xs = jnp.stack([x, jnp.flip(x, axis=1)], axis=0)  # [2, R, L, In]
-    # input projections for all steps in one MXU pass, emitted directly in
-    # kernel layout [L, 2, 3H, R]
-    gates_x = (
-        jnp.einsum("drli,dgi->ldgr", xs, w_ih.astype(dt))
-        + b_ih.astype(dt)[None, :, :, None]
-    )
-    ys = gru_recurrence(
-        gates_x, w_hh.astype(dt), b_hh.astype(dt), interpret
-    )  # [L, 2, H, R]
-    fwd = ys[:, 0]  # [L, H, R]
-    bwd = jnp.flip(ys[:, 1], axis=0)
-    out = jnp.concatenate([fwd, bwd], axis=1)  # [L, 2H, R]
-    return out.transpose(2, 0, 1)  # [R, L, 2H]
+    fused kernel.  ``x``: [R, L, In] -> [R, L, 2H].  ``pre_kernel`` /
+    ``pre_bias`` fold a preceding 1x1 conv (``y = x @ pre_kernel^T +
+    pre_bias``) into the input projection."""
+    w_eff, b_eff = compose_input_projection(w_ih, b_ih, pre_kernel, pre_bias)
+    return bigru_core(x, w_eff, b_eff, w_hh, b_hh, interpret)

@@ -173,28 +173,45 @@ def _use_pallas_gru() -> bool:
 
 
 class BiGRU(nn.Module):
-    """Drop-in for ``nn.GRU(in, hidden, bidirectional=True)`` output[0]."""
+    """Drop-in for ``nn.GRU(in, hidden, bidirectional=True)`` output[0].
+
+    ``pre_kernel`` / ``pre_bias`` fold a preceding 1x1 conv
+    (``y = x @ pre_kernel^T + pre_bias``, ``pre_kernel`` [Cmid, Cin]) into
+    the input projection — adjacent linear maps compose exactly, and one
+    MXU pass replaces conv + projection (GruBlock's ``conv1``,
+    ``model/tsrn.py:1067-1084``).  The GRU's own ``w_ih`` keeps the
+    checkpoint shape [2, 3H, Cmid]."""
 
     hidden: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        in_f = x.shape[-1]
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        pre_kernel: Optional[jnp.ndarray] = None,
+        pre_bias: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        in_f = x.shape[-1] if pre_kernel is None else pre_kernel.shape[0]
         init = _rnn_param_init(in_f, self.hidden)
         w_ih = self.param("w_ih", init, (2, 3 * self.hidden, in_f))
         w_hh = self.param("w_hh", init, (2, 3 * self.hidden, self.hidden))
         b_ih = self.param("b_ih", init, (2, 3 * self.hidden))
         b_hh = self.param("b_hh", init, (2, 3 * self.hidden))
+        from tatt_tpu.kernels.pallas_gru import compose_input_projection
+
+        w_eff, b_eff = compose_input_projection(
+            w_ih, b_ih, pre_kernel, pre_bias
+        )
         # The fused kernel lays rows on lanes and gates on sublanes; it
         # only pays off for many-row, small-hidden recurrences (the
         # GruBlocks).  Few-row / wide-hidden cases (the TP query GRU:
         # rows=1, H=512) pad catastrophically — keep those on the scan.
         rows = x.shape[0]
         if _use_pallas_gru() and rows >= 128 and self.hidden <= 128:
-            from tatt_tpu.kernels.pallas_gru import bigru_pallas
+            from tatt_tpu.kernels.pallas_gru import bigru_core
 
-            return bigru_pallas(x, w_ih, w_hh, b_ih, b_hh)
-        return bigru_apply(x, w_ih, w_hh, b_ih, b_hh)
+            return bigru_core(x, w_eff, b_eff, w_hh, b_hh)
+        return bigru_apply(x, w_eff, w_hh, b_eff, b_hh)
 
 
 class BiLSTM(nn.Module):

@@ -217,9 +217,13 @@ class Conv2d(nn.Module):
     # with few output channels).  Falls back to the direct conv otherwise.
     lane_pack: int = 1
     data_format: str = "NCHW"
+    # declare the (checkpoint-identical) params and return them instead of
+    # convolving — lets a caller fold a 1x1 conv into an adjacent linear
+    # op (GruBlock fuses conv1 into the GRU input projection)
+    params_only: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         nhwc = self.data_format == "NHWC"
         in_ch = x.shape[3] if nhwc else x.shape[1]
         kh, kw = self.kernel_size
@@ -237,6 +241,8 @@ class Conv2d(nn.Module):
             if self.use_bias
             else None
         )
+        if self.params_only:
+            return kernel, bias
         if (
             r > 1
             and self.strides == (1, 1)

@@ -53,22 +53,28 @@ class GruBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         nhwc = self.data_format == "NHWC"
-        x = Conv2d(
+        # conv1 is a 1x1 with nothing between it and the GRU, so it folds
+        # exactly into the GRU input projection (one MXU pass, no
+        # intermediate activation; params keep their checkpoint names)
+        kernel, bias = Conv2d(
             self.out_channels,
             (1, 1),
             padding=(0, 0),
             data_format=self.data_format,
+            params_only=True,
             name="conv1",
         )(x)
+        pre_k = kernel[:, :, 0, 0]  # [Cmid, Cin]
+        gru = BiGRU(hidden=self.out_channels // 2, name="gru")
         if nhwc:
             n, h, w, c = x.shape
             seq = x.reshape(n * h, w, c)
-            seq = BiGRU(hidden=self.out_channels // 2, name="gru")(seq)
-            return seq.reshape(n, h, w, c)
+            seq = gru(seq, pre_kernel=pre_k, pre_bias=bias)
+            return seq.reshape(n, h, w, self.out_channels)
         n, c, h, w = x.shape
         seq = x.transpose(0, 2, 3, 1).reshape(n * h, w, c)
-        seq = BiGRU(hidden=self.out_channels // 2, name="gru")(seq)
-        return seq.reshape(n, h, w, c).transpose(0, 3, 1, 2)
+        seq = gru(seq, pre_kernel=pre_k, pre_bias=bias)
+        return seq.reshape(n, h, w, self.out_channels).transpose(0, 3, 1, 2)
 
 
 class RecurrentResidualBlock(nn.Module):

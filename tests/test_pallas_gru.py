@@ -90,3 +90,36 @@ def test_pallas_lstm_forward_and_grad():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), atol=2e-4, rtol=1e-3, err_msg=name
         )
+
+
+def test_pallas_gru_pre_projection_fold():
+    """pre_kernel/pre_bias fold a 1x1 conv exactly: pallas(x, pre=P) ==
+    scan(x @ P^T + pb) for values AND grads (GruBlock's conv1 fusion)."""
+    rows, length, cin, cmid, hidden = 8, 12, 10, 6, 8
+    x = jnp.asarray(RNG.standard_normal((rows, length, cin)).astype(np.float32))
+    P = jnp.asarray(RNG.standard_normal((cmid, cin)).astype(np.float32) * 0.3)
+    pb = jnp.asarray(RNG.standard_normal((cmid,)).astype(np.float32) * 0.1)
+    w_ih, w_hh, b_ih, b_hh = map(jnp.asarray, _params(cmid, hidden))
+
+    def loss_ref(x_, P_, pb_, w_ih_):
+        y = bigru_apply(x_ @ P_.T + pb_, w_ih_, w_hh, b_ih, b_hh)
+        return (y * jnp.sin(jnp.arange(y.size).reshape(y.shape))).sum()
+
+    def loss_fused(x_, P_, pb_, w_ih_):
+        y = bigru_pallas(
+            x_, w_ih_, w_hh, b_ih, b_hh, interpret=True,
+            pre_kernel=P_, pre_bias=pb_,
+        )
+        return (y * jnp.sin(jnp.arange(y.size).reshape(y.shape))).sum()
+
+    want, want_g = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(
+        x, P, pb, w_ih
+    )
+    got, got_g = jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3))(
+        x, P, pb, w_ih
+    )
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    for g, w, name in zip(got_g, want_g, ("dx", "dP", "dpb", "dw_ih")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=2e-4, rtol=1e-3, err_msg=name
+        )
