@@ -325,10 +325,15 @@ def _core_bwd(interpret, res, dout):
         interpret,
     )
     # input-projection backward per direction — two large matmuls, no
-    # stacked [2, ...] dgx relayout in HBM
-    dx = jnp.einsum("lgr,gi->rli", dgxf, w_eff[0].astype(dt)) + jnp.einsum(
-        "lgr,gi->rli", dgxb, w_eff[1].astype(dt)
+    # stacked [2, ...] dgx relayout in HBM.  Emitted [L, R, I] (the dot's
+    # natural rhs-free-minor layout) then swapped on the major dims only,
+    # which is tile-granular — asking for "rli" directly made XLA keep
+    # dgx's r-minor layout through the add and pay a within-tile
+    # relayout copy per GruBlock (~108us x10, round-3 trace).
+    dx = jnp.einsum("lgr,gi->lri", dgxf, w_eff[0].astype(dt)) + jnp.einsum(
+        "lgr,gi->lri", dgxb, w_eff[1].astype(dt)
     )
+    dx = dx.transpose(1, 0, 2)
     dw_eff = jnp.stack(
         [
             jnp.einsum("lgr,rli->gi", dgxf, x),
