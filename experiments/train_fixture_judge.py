@@ -1,0 +1,99 @@
+"""Train the fixture CRNN judge and save it as a test asset.
+
+Produces ``tests/assets/fixture_crnn.npz``: a compact CRNN (nh=64,
+nm=(16,32,64,64,128,128,128)) trained with CTC on the synthetic fixture
+charset (lowercase+digits) until it reads clean HR crops at >90% word
+accuracy.  This gives the eval protocol a real accuracy signal — the
+reference's pretrained crnn.pth cannot enter this environment, so the
+judge is trained in-repo (see tatt_tpu/train/pretrain.py).
+
+Run on the TPU chip:  python experiments/train_fixture_judge.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tatt_tpu.core.checkpoint import save_variables_npz
+from tatt_tpu.data.synthetic import SyntheticTextDataset
+from tatt_tpu.models.recognizers.crnn import CRNN
+from tatt_tpu.train.pretrain import pretrain_recognizer
+
+JUDGE_NH = 64
+JUDGE_NM = (16, 32, 64, 64, 128, 128, 128)
+
+
+def main(steps: int = 4000, batch_size: int = 128) -> None:
+    train_ds = SyntheticTextDataset(n=4096, seed=7)
+    heldout = SyntheticTextDataset(n=256, seed=991)
+    crnn = CRNN(nh=JUDGE_NH, nm=JUDGE_NM)
+
+    t0 = time.time()
+    result = pretrain_recognizer(
+        crnn,
+        train_ds,
+        steps=steps,
+        batch_size=batch_size,
+        lr=1e-3,
+        seed=0,
+        eval_dataset=heldout,
+        eval_every=250,
+    )
+    elapsed = time.time() - t0
+    print(f"trained in {elapsed:.0f}s; held-out word-acc {result.final_accuracy:.4f}")
+
+    # LR-domain accuracy: how well the judge reads the 64x16 crops
+    # upsampled through the same parse path (should be much lower —
+    # that gap is the SR>LR signal the eval loop selects on)
+    import jax.numpy as jnp
+    from tatt_tpu.core.charset import CRNN_ALPHABET, ctc_greedy_decode, str_filt
+    from tatt_tpu.models.recognizers.crnn import parse_crnn_input
+
+    lr_imgs = np.stack(
+        [np.asarray(heldout[i][1].convert("RGB"), np.float32) / 255.0 for i in range(256)]
+    ).transpose(0, 3, 1, 2)
+    logits = crnn.apply(
+        result.variables, parse_crnn_input(jnp.asarray(lr_imgs)), train=False
+    )
+    preds = ctc_greedy_decode(np.asarray(logits), CRNN_ALPHABET)
+    lr_acc = float(
+        np.mean(
+            [
+                str_filt(p, "lower") == str_filt(heldout[i][2], "lower")
+                for i, p in enumerate(preds)
+            ]
+        )
+    )
+    print(f"LR-domain word-acc {lr_acc:.4f}")
+
+    out = os.path.join(os.path.dirname(__file__), "..", "tests", "assets", "fixture_crnn.npz")
+    save_variables_npz(
+        os.path.abspath(out),
+        result.variables,
+        nh=JUDGE_NH,
+        nm=np.asarray(JUDGE_NM),
+        hr_acc=result.final_accuracy,
+        lr_acc=lr_acc,
+        steps=steps,
+        train_seed=7,
+        heldout_seed=991,
+    )
+    print(f"saved {out}")
+    print(json.dumps({"history": result.history[-5:]}, indent=2))
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch_size", type=int, default=128)
+    a = ap.parse_args()
+    main(a.steps, a.batch_size)

@@ -55,6 +55,7 @@ class Trainer:
         judge_variables=None,
         lpips_variables=None,
         log_fn: Callable[[str], None] = print,
+        crnn=None,
     ):
         self.cfg = cfg
         self.log = log_fn
@@ -80,7 +81,14 @@ class Trainer:
             self._alphabet = CRNN_ALPHABET
 
         self.sr_model = build_generator(cfg.args.arch, cfg)
-        if cfg.args.tpg == "OPT":
+        if crnn is not None:
+            # caller-provided recognizer (CRNN family) — used to pair a
+            # custom-width model with weights trained via
+            # tatt_tpu.train.pretrain (e.g. the fixture judge asset)
+            self.crnn = crnn
+            self._parse_fn = parse_crnn_input
+            self._tpg_width = 100
+        elif cfg.args.tpg == "OPT":
             # NAVER TPG pipeline (Chinese path; main.py:127-144)
             from tatt_tpu.models.recognizers.tpg import TPGModel, parse_opt_input
 
