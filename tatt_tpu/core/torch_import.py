@@ -353,6 +353,194 @@ def import_tatt(path_or_sd, srb_nums: int = 5) -> dict:
     return _to_device({"params": params, "batch_stats": stats})
 
 
+def _infogen(sd: Mapping[str, np.ndarray], pre: str) -> tuple[dict, dict]:
+    """InfoGen deconv stack (``model/tsrn.py:284-317`` and the per-arch
+    clones): tconv1-4 (bias-free) + bn1-4."""
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+    for i in range(1, 5):
+        params[f"tconv{i}"] = {"kernel": sd[f"{pre}.tconv{i}.weight"]}
+        p, s = _bn(sd, f"{pre}.bn{i}")
+        params[f"bn{i}"] = p
+        stats[f"bn{i}"] = s
+    return params, stats
+
+
+def _feature_enhancer(sd: Mapping[str, np.ndarray], pre: str) -> dict:
+    """TBSRN FeatureEnhancer (``model/tbsrn.py:63-93``).  Its hand-rolled
+    MultiHeadedAttention keeps q/k/v/out as 4 separate Linears
+    (``tbsrn.py:96-131``); pack the first three into our torch-
+    ``nn.MultiheadAttention``-layout in_proj."""
+    mh = f"{pre}.multihead.linears"
+    return {
+        "multihead": {
+            "in_proj_weight": np.concatenate(
+                [sd[f"{mh}.{i}.weight"] for i in range(3)], axis=0
+            ),
+            "in_proj_bias": np.concatenate(
+                [sd[f"{mh}.{i}.bias"] for i in range(3)], axis=0
+            ),
+            "out_proj_weight": sd[f"{mh}.3.weight"],
+            "out_proj_bias": sd[f"{mh}.3.bias"],
+        },
+        "norm1": {
+            "a_2": sd[f"{pre}.mul_layernorm1.a_2"],
+            "b_2": sd[f"{pre}.mul_layernorm1.b_2"],
+        },
+        "norm3": {
+            "a_2": sd[f"{pre}.mul_layernorm3.a_2"],
+            "b_2": sd[f"{pre}.mul_layernorm3.b_2"],
+        },
+        "pff_w1": _linear(sd, f"{pre}.pff.w_1"),
+        "pff_w2": _linear(sd, f"{pre}.pff.w_2"),
+        "linear": _linear(sd, f"{pre}.linear"),
+    }
+
+
+def tbsrn_block_variables(
+    sd: Mapping[str, np.ndarray], pre: str = ""
+) -> tuple[dict, dict]:
+    """One ``RecurrentResidualBlock_TL`` (``model/tbsrn.py:380-416``) ->
+    (params, batch_stats) for :class:`...zoo.tbsrn.TBSRNBlock`.  The
+    reference block also constructs gru1/gru2 GruBlocks it never calls in
+    ``forward`` — their entries are intentionally not imported."""
+    dot = f"{pre}." if pre else ""
+    bp: dict[str, Any] = {
+        "conv1": _conv(sd, f"{dot}conv1"),
+        "conv2": _conv(sd, f"{dot}conv2"),
+        "conv_proj": _conv(sd, f"{dot}conv_proj"),
+        "feature_enhancer": _feature_enhancer(sd, f"{dot}feature_enhancer"),
+    }
+    bs: dict[str, Any] = {}
+    for bn in ("bn1", "bn2"):
+        p, s = _bn(sd, f"{dot}{bn}")
+        bp[bn] = p
+        bs[bn] = s
+    return bp, bs
+
+
+def import_tbsrn_tl(path_or_sd, srb_nums: int = 5) -> dict:
+    """Reference ``TBSRN_TL`` (``model/tbsrn.py:266-346``) -> flax variables
+    for :class:`tatt_tpu.models.zoo.tbsrn.TBSRN_TL`.
+
+    Skipped state-dict groups (dead in the reference forward): the
+    ``conv``/``bn`` pair defined but never called (``tbsrn.py:283-285``),
+    the per-block ``gru1``/``gru2`` GruBlocks (``tbsrn.py:389-395``, unused
+    in ``forward``), and the train-only ``stn_head``/``tps``."""
+    sd = (
+        load_state_dict(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    )
+    params: dict[str, Any] = {
+        "block1_conv": _conv(sd, "block1.0"),
+        "block1_act": {"alpha": sd["block1.1.weight"]},
+    }
+    stats: dict[str, Any] = {}
+    for i in range(srb_nums):
+        blk = f"block{i+2}"
+        bp, bs = tbsrn_block_variables(sd, blk)
+        params[blk] = bp
+        stats[blk] = bs
+    p, s = _infogen(sd, "infoGen")
+    params["infoGen"] = p
+    stats["infoGen"] = s
+    params["post_conv"] = _conv(sd, f"block{srb_nums+2}.0")
+    p, s = _bn(sd, f"block{srb_nums+2}.1")
+    params["post_bn"] = p
+    stats["post_bn"] = s
+    params["up0"] = {"conv": _conv(sd, f"block{srb_nums+3}.0.conv")}
+    params["final"] = _conv(sd, f"block{srb_nums+3}.1")
+    return _to_device({"params": params, "batch_stats": stats})
+
+
+def import_han(path_or_sd, n_resgroups: int = 10, n_resblocks: int = 20) -> dict:
+    """Reference ``HAN`` (``model/han.py:193-265``) -> flax variables for
+    :class:`tatt_tpu.models.zoo.han.HAN`.  ``sub_mean``/``add_mean`` are
+    fixed MeanShift convs (``han.py:10-20``) that we hard-code."""
+    sd = (
+        load_state_dict(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    )
+    params: dict[str, Any] = {"head": _conv(sd, "head.0")}
+    for g in range(n_resgroups):
+        gp: dict[str, Any] = {}
+        for b in range(n_resblocks):
+            pre = f"body.{g}.body.{b}"
+            gp[f"rcab{b}"] = {
+                "conv1": _conv(sd, f"{pre}.body.0"),
+                "conv2": _conv(sd, f"{pre}.body.2"),
+                "ca": {
+                    "down": _conv(sd, f"{pre}.body.3.conv_du.0"),
+                    "up": _conv(sd, f"{pre}.body.3.conv_du.2"),
+                },
+            }
+        gp["conv_tail"] = _conv(sd, f"body.{g}.body.{n_resblocks}")
+        params[f"group{g}"] = gp
+    params["body_tail"] = _conv(sd, f"body.{n_resgroups}")
+    params["la"] = {"gamma": sd["la.gamma"]}
+    params["csa"] = {
+        "gamma": sd["csa.gamma"],
+        "conv3d_kernel": sd["csa.conv.weight"],
+        "conv3d_bias": sd["csa.conv.bias"],
+    }
+    params["last_conv"] = _conv(sd, "last_conv")
+    params["last"] = _conv(sd, "last")
+    params["up0"] = _conv(sd, "tail.0.0")
+    params["tail"] = _conv(sd, "tail.1")
+    return _to_device({"params": params})
+
+
+def import_rdn_tl(path_or_sd, n_dense: int = 6) -> dict:
+    """Reference ``RDN_TL`` (``model/rdn.py:158-212``) -> flax variables for
+    :class:`tatt_tpu.models.zoo.resnets.RDN_TL`."""
+    sd = (
+        load_state_dict(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    )
+    params: dict[str, Any] = {}
+    for name in ("conv1", "conv2", "GFF_1x1", "GFF_3x3", "conv_up", "conv3"):
+        params[name] = _conv(sd, name)
+    for k in (1, 2, 3):
+        rp: dict[str, Any] = {}
+        for i in range(n_dense):
+            rp[f"dense{i}"] = _conv(sd, f"RDB{k}.dense_layers.{i}.conv", bias=False)
+        rp["conv_1x1"] = _conv(sd, f"RDB{k}.conv_1x1", bias=False)
+        params[f"RDB{k}"] = rp
+    p, s = _infogen(sd, "infoGen")
+    params["infoGen"] = p
+    return _to_device({"params": params, "batch_stats": {"infoGen": s}})
+
+
+def import_esrgan_tl(path_or_sd, nb: int = 23) -> dict:
+    """Reference ``RRDBNet_TL`` (``model/esrgan.py:150-191``) -> flax
+    variables for :class:`tatt_tpu.models.zoo.esrgan.RRDBNet_TL`."""
+    sd = (
+        load_state_dict(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    )
+    params: dict[str, Any] = {
+        "conv_first": _conv(sd, "conv_first"),
+        "trunk_conv": _conv(sd, "trunk_conv"),
+        "upconv1": _conv(sd, "upconv1"),
+        "HRconv": _conv(sd, "HRconv"),
+        "conv_last": _conv(sd, "conv_last"),
+    }
+    stats: dict[str, Any] = {}
+    for i in range(nb):
+        pre = f"RRDB_trunk.{i}"
+        bp: dict[str, Any] = {"proj": _conv(sd, f"{pre}.proj")}
+        bs: dict[str, Any] = {}
+        for j in (1, 2, 3):
+            bp[f"RDB{j}"] = {
+                f"conv{k}": _conv(sd, f"{pre}.RDB{j}.conv{k}") for k in range(1, 6)
+            }
+        p, s = _bn(sd, f"{pre}.bn2")
+        bp["bn2"] = p
+        bs["bn2"] = s
+        params[f"RRDB{i}"] = bp
+        stats[f"RRDB{i}"] = bs
+    p, s = _infogen(sd, "infoGen")
+    params["infoGen"] = p
+    stats["infoGen"] = s
+    return _to_device({"params": params, "batch_stats": stats})
+
+
 def import_crnn(path_or_sd) -> dict:
     """Reference ``crnn.pth`` (``model/crnn/crnn.py``) -> flax variables
     for :class:`tatt_tpu.models.recognizers.crnn.CRNN`."""

@@ -42,6 +42,7 @@ class VGG16Features(nn.Module):
         for spec in VGG16_PLAN:
             if spec == "M":
                 x = max_pool_nchw(x, (2, 2), (2, 2))
+                outs[idx] = x  # pool outputs land on their torchvision index
                 idx += 1
                 continue
             x = Conv2d(spec, (3, 3), padding=(1, 1), name=f"conv{idx}")(x)
@@ -88,8 +89,9 @@ def generator_loss(
     vgg = VGG16Features()
     f_out = vgg.apply(vgg_variables, out_images[:, :3])
     f_tgt = vgg.apply(vgg_variables, target_images[:, :3])
-    # reference uses features up to layer :31 (last relu before pool5)
-    key = max(k for k in f_out if k <= tap)
+    # the reference network is ``features[:31]`` (``percptual_loss.py:13``)
+    # — slice semantics: last layer is index 30, the pool5 maxpool
+    key = max(k for k in f_out if k < tap)
     perception = ((f_out[key] - f_tgt[key]) ** 2).mean()
     image_loss_term = ((out_images - target_images) ** 2).mean()
     tv = total_variation(out_images)

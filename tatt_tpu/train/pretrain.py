@@ -134,7 +134,16 @@ def pretrain_recognizer(
     variables = crnn.init(k_init, luma0)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = optax.adam(lr)
+    # warmup + cosine decay to 5% of peak: CTC training has a long
+    # alignment-locking phase where a constant lr plateaus
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=lr * 0.1,
+        peak_value=lr,
+        warmup_steps=min(200, steps // 10),
+        decay_steps=steps,
+        end_value=lr * 0.05,
+    )
+    tx = optax.adam(schedule)
     opt_state = tx.init(params)
 
     t_logit = 26  # CRNN emits [26, B, C] (model/crnn/crnn.py:76-92)
