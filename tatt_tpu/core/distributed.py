@@ -28,10 +28,15 @@ def initialize(
     )
     if coordinator_address is None:
         return  # single-host
+    if num_processes is None:
+        num_processes = int(os.environ.get("NUM_PROCESSES", "1"))
+    if process_id is None:
+        # NOTE: `process_id or env` would be wrong — 0 is a valid id
+        process_id = int(os.environ.get("PROCESS_ID", "0"))
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes or int(os.environ.get("NUM_PROCESSES", "1")),
-        process_id=process_id or int(os.environ.get("PROCESS_ID", "0")),
+        num_processes=num_processes,
+        process_id=process_id,
     )
 
 

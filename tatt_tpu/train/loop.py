@@ -43,6 +43,34 @@ from tatt_tpu.train.steps import (
 )
 
 
+def make_summary_writer(log_dir: str, vis_dir: str):
+    """tensorboardX writer under ``<log_dir>/<vis_dir>``, or None.
+
+    Missing tensorboardX warns ONCE on stderr instead of silently
+    dropping scalars; dir reuse wipes stale event files so curves don't
+    concatenate across runs (reference ``super_resolution.py:474-481``)."""
+    try:
+        from tensorboardX import SummaryWriter
+    except ImportError:
+        import sys
+
+        print(
+            "tatt_tpu: tensorboardX is not installed — scalar logging to "
+            f"{log_dir!r} is disabled (pip install tensorboardX to enable)",
+            file=sys.stderr,
+        )
+        return None
+    tb_dir = os.path.join(log_dir, vis_dir)
+    if os.path.isdir(tb_dir):
+        for name in os.listdir(tb_dir):
+            path = os.path.join(tb_dir, name)
+            if os.path.isfile(path):
+                os.unlink(path)
+    else:
+        os.makedirs(tb_dir, exist_ok=True)
+    return SummaryWriter(tb_dir)
+
+
 class Trainer:
     """End-to-end trainer for text-prior archs (tatt / tsrn_tl_cascade)."""
 
@@ -339,17 +367,11 @@ class Trainer:
 
         self.ckpt_dir = os.path.join(cfg.TRAIN.ckpt_dir, cfg.vis_dir)
 
-        self._writer = None
-        if cfg.args.log_dir:
-            try:
-                from tensorboardX import SummaryWriter
-
-                os.makedirs(cfg.args.log_dir, exist_ok=True)
-                self._writer = SummaryWriter(
-                    os.path.join(cfg.args.log_dir, cfg.vis_dir)
-                )
-            except Exception:
-                self._writer = None
+        self._writer = (
+            make_summary_writer(cfg.args.log_dir, cfg.vis_dir)
+            if cfg.args.log_dir
+            else None
+        )
 
     # ------------------------------------------------------------------
     def _judge_crnn_fn(self):
