@@ -115,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "a chunk fire at the chunk boundary, up to K-1 "
                         "iters late)")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--device_collate", action="store_true",
+                   help="ship uint8 crops and normalize inside the jitted "
+                        "step (4x less H2D, near-zero host arithmetic; "
+                        "RGB recipes only)")
     p.add_argument("--log_dir", default="tensorboard")
     p.add_argument("--vis", action="store_true",
                    help="dump LR/SR/HR triptychs during eval")

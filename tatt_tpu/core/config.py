@@ -136,6 +136,10 @@ class Flags:
     # TPU-specific additions (no reference counterpart):
     dp_devices: int = 0        # 0 = all visible devices
     steps_per_dispatch: int = 1  # K>1: K train steps per jitted dispatch
+    # ship uint8 crops and normalize inside the jitted step (4x less H2D,
+    # near-zero host arithmetic; see data/device_pipeline.py).  RGB path
+    # only — y_domain/syn fall back to the host collate.
+    device_collate: bool = False
     dtype: str = "float32"     # compute dtype for the model ("bfloat16" on TPU)
     log_dir: str = "tensorboard"
     tiny_tpg: bool = False     # shrink the CRNN for CPU smoke runs

@@ -82,6 +82,19 @@ def resize_normalize(
     return batch_normalize([img], size, mask)[0]
 
 
+def batch_u8(imgs: list[Image.Image], size: tuple[int, int]) -> np.ndarray:
+    """Stack to [B, H, W, 3] uint8 (resizing on host only when the source
+    size differs from target — TextZoom crops are stored at target size).
+    The float conversion, layout, and mask channel then happen on device
+    (``data/device_pipeline.device_normalize``)."""
+    return np.stack(
+        [
+            np.asarray(im if im.size == size else im.resize(size, Image.BICUBIC))
+            for im in imgs
+        ]
+    )
+
+
 @dataclass
 class Batch:
     """The train-collate 9-tuple, as named fields (None where unused)."""
@@ -128,6 +141,7 @@ def collate(
     syn: bool = False,
     srmd: bool = False,
     seed: Optional[int] = None,
+    raw: bool = False,
 ) -> Batch:
     """``samples``: iterable of (img_HR, img_lr, label).
 
@@ -139,7 +153,13 @@ def collate(
     reference constructs it but ships ``images_pseudoLR = None`` at
     ``:1989`` — here the slot is real).  ``srmd=True`` additionally routes
     the LR through SRMD kernel-blur degradation (``degradation``,
-    ``dataset.py:1678-1694``, latent in the reference)."""
+    ``dataset.py:1678-1694``, latent in the reference).
+
+    ``raw=True`` (device-collate fast path, no reference counterpart):
+    images ship as stacked [B, H, W, 3] uint8 and the float conversion /
+    mask channel move inside the jitted step (``data/device_pipeline``) —
+    4x less H2D traffic and near-zero host arithmetic.  Incompatible with
+    ``y_domain``/``syn`` (those stay on the host path)."""
     import random as _random
 
     from tatt_tpu.data.degradation import blur_ensemble, srmd_degradation
@@ -164,13 +184,21 @@ def collate(
             hrs_y.append(hr.convert("YCbCr"))
             lrs_y.append(lr.convert("YCbCr"))
         labels.append(label)
-    hrs = batch_normalize(hrs, (width, height), mask)
-    lrs = batch_normalize(lrs, lr_size, mask)
-    if pseudo:
-        pseudo = batch_normalize(pseudo, lr_size, mask)
-    if y_domain:
-        hrs_y = batch_normalize(hrs_y, (width, height), mask)
-        lrs_y = batch_normalize(lrs_y, lr_size, mask)
+    if raw:
+        assert not y_domain and not syn, (
+            "raw (device) collate supports the canonical RGB path; "
+            "y_domain/syn stay on the host collate"
+        )
+        hrs = batch_u8(hrs, (width, height))
+        lrs = batch_u8(lrs, lr_size)
+    else:
+        hrs = batch_normalize(hrs, (width, height), mask)
+        lrs = batch_normalize(lrs, lr_size, mask)
+        if pseudo:
+            pseudo = batch_normalize(pseudo, lr_size, mask)
+        if y_domain:
+            hrs_y = batch_normalize(hrs_y, (width, height), mask)
+            lrs_y = batch_normalize(lrs_y, lr_size, mask)
 
     label_vecs, ctc_ids, tics = encode_label_vecs(
         labels, alphabet, max_len, eval_perturb, spread=not syn

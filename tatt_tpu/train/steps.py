@@ -53,6 +53,10 @@ class StepConfig(NamedTuple):
     training_stablize: bool = False
     grad_clip: float = 0.25
     compute_dtype: str = "float32"  # "bfloat16" halves MXU/HBM pressure
+    # mask-channel flag for the uint8 device-collate fast path (the host
+    # collate bakes the mask into its float tensors; raw batches build it
+    # on device — data/device_pipeline.py)
+    mask: bool = True
 
 
 def _rbg_key(key: jax.Array) -> jax.Array:
@@ -107,6 +111,9 @@ def make_train_step(
     use_fused = cfg.tssim_loss and cfg.fused_tssim and sr_apply_fused is not None
 
     def step_fn(state: TrainState, teacher_vars, batch: dict, rng: jax.Array):
+        from tatt_tpu.data.device_pipeline import prep_image_batch
+
+        batch = prep_image_batch(batch, cfg.mask)
         if cfg.y_domain:
             # YUV training: luma channels for the SR loss, raw RGB for the
             # recognizer priors (super_resolution.py:614-623,772,794)
@@ -429,6 +436,9 @@ def make_plain_train_step(
     """
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        from tatt_tpu.data.device_pipeline import prep_image_batch
+
+        batch = prep_image_batch(batch, cfg.mask)
         images_hr = batch["images_hr"][:, :channels]
         images_lr = batch["images_lr"][:, :channels]
         rot_rng, drop_rng = jax.random.split(rng)
@@ -548,6 +558,7 @@ def make_eval_step(
     sr_share: bool = True,
     tpg_share: bool = True,
     for_cascading: bool = False,
+    mask: bool = True,
 ):
     """Eval: student prior -> SR forward (eval mode), mirroring
     ``model_inference`` (``super_resolution.py:240-449``) including the
@@ -556,6 +567,9 @@ def make_eval_step(
     (``super_resolution.py:1627-1700``)."""
 
     def eval_fn(state: TrainState, batch: dict):
+        from tatt_tpu.data.device_pipeline import prep_image_batch
+
+        batch = prep_image_batch(batch, mask)
         images_lr = batch["images_lr"]
         cascade = images_lr
         sr = None
