@@ -31,7 +31,7 @@ JUDGE_NM = (16, 32, 64, 64, 128, 128, 128)
 
 
 def main(steps: int = 4000, batch_size: int = 128) -> None:
-    train_ds = SyntheticTextDataset(n=4096, seed=7)
+    train_ds = SyntheticTextDataset(n=16384, seed=7)
     heldout = SyntheticTextDataset(n=256, seed=991)
     crnn = CRNN(nh=JUDGE_NH, nm=JUDGE_NM)
 

@@ -11,8 +11,19 @@ from __future__ import annotations
 
 import random
 import string
+from functools import lru_cache
+
 import numpy as np
-from PIL import Image, ImageDraw, ImageFilter
+from PIL import Image, ImageDraw, ImageFilter, ImageFont
+
+
+@lru_cache(maxsize=None)
+def _font(size: int):
+    """Scalable built-in font (PIL >= 10.1); bitmap fallback otherwise."""
+    try:
+        return ImageFont.load_default(size=size)
+    except TypeError:  # pragma: no cover - old PIL
+        return ImageFont.load_default()
 
 
 def render_sample(
@@ -44,7 +55,18 @@ def render_sample(
         if all(ord(ch) < 256 for ch in label)
         else "".join(rng.choice(string.ascii_lowercase) for _ in label)
     )
-    draw.text((rng.randint(2, 12), rng.randint(0, 8)), drawable, fill=(fg, fg, fg))
+    # TextZoom-like glyph scale: text fills most of the crop height
+    # (real word crops are tight boxes), shrunk to fit the width
+    size = max(int(h * 0.65), 8)
+    font = _font(size)
+    while size > 8 and draw.textlength(drawable, font=font) > w - 6:
+        size -= 2
+        font = _font(size)
+    left, top, right, bottom = draw.textbbox((0, 0), drawable, font=font)
+    tw, th = right - left, bottom - top
+    x = rng.randint(1, max(w - tw - 2, 1)) - left
+    y = rng.randint(0, max(h - th - 1, 0)) - top
+    draw.text((x, y), drawable, font=font, fill=(fg, fg, fg))
     lr = img.filter(ImageFilter.GaussianBlur(radius=rng.uniform(0.8, 1.6))).resize(
         lr_size, Image.BICUBIC
     )

@@ -20,12 +20,16 @@ def make_judge(
     variables,
     voc_type: str = "all",
     width: int = 100,
+    crnn_model=None,
 ) -> Callable[[jnp.ndarray], list[str]]:
-    """Returns ``judge(images_nchw_rgb01) -> list[str]``."""
+    """Returns ``judge(images_nchw_rgb01) -> list[str]``.
+
+    ``crnn_model``: optional CRNN instance matching non-default-width
+    weights (e.g. the in-repo-pretrained fixture judge)."""
     if test_model == "CRNN":
         from tatt_tpu.models.recognizers.crnn import CRNN, parse_crnn_input
 
-        model = CRNN()
+        model = crnn_model if crnn_model is not None else CRNN()
 
         @jax.jit
         def fwd(v, images):

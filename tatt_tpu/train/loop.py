@@ -84,6 +84,7 @@ class Trainer:
         lpips_variables=None,
         log_fn: Callable[[str], None] = print,
         crnn=None,
+        judge_crnn=None,
     ):
         self.cfg = cfg
         self.log = log_fn
@@ -212,6 +213,14 @@ class Trainer:
             rotate_train=cfg.args.rotate_train,
             training_stablize=cfg.args.training_stablize,
             compute_dtype=cfg.args.dtype,
+            mask=cfg.args.mask,
+        )
+        # uint8 device-collate fast path: RGB recipes only (the y_domain /
+        # syn paths produce host-side float tensors by construction)
+        self.device_collate = bool(
+            getattr(cfg.args, "device_collate", False)
+            and not cfg.args.y_domain
+            and not cfg.args.syn
         )
 
         def sr_apply(variables, lr, prior, train, rngs=None, mutable=False):
@@ -285,6 +294,7 @@ class Trainer:
                     sr_share=self.step_cfg.sr_share,
                     tpg_share=self.step_cfg.tpg_share,
                     for_cascading=self.step_cfg.for_cascading,
+                    mask=cfg.args.mask,
                 )
             )
         else:
@@ -320,7 +330,10 @@ class Trainer:
             from tatt_tpu.train.judge import make_judge
 
             self._judge_fn = make_judge(
-                cfg.args.test_model, judge_variables, cfg.TRAIN.voc_type
+                cfg.args.test_model,
+                judge_variables,
+                cfg.TRAIN.voc_type,
+                crnn_model=judge_crnn,
             )
         elif cfg.args.test_model != "CRNN":
             raise ValueError(
@@ -347,6 +360,7 @@ class Trainer:
                 y_domain=cfg.args.y_domain,
                 syn=cfg.args.syn,
                 alphabet=self._alphabet,
+                raw=self.device_collate,
             ),
         )
         self.val_datasets = val_datasets or {}
@@ -703,6 +717,7 @@ class Trainer:
                 mask=cfg.args.mask,
                 y_domain=cfg.args.y_domain,
                 alphabet=self._alphabet,
+                raw=self.device_collate,
             ),
         )
         acc = EvalAccumulator()
@@ -710,6 +725,20 @@ class Trainer:
         n_vis_left = cfg.TRAIN.VAL.n_vis if cfg.args.vis else 0
         for batch in loader:
             arrays = batch.device_arrays()
+            if arrays["images_hr"].dtype == np.uint8:
+                # raw batches: host metrics (PSNR/SSIM vs HR, the bicubic
+                # LR baseline, judge inputs) need the float view
+                from tatt_tpu.data.device_pipeline import host_normalize_u8
+
+                arrays = dict(
+                    arrays,
+                    images_hr=host_normalize_u8(
+                        arrays["images_hr"], cfg.args.mask
+                    ),
+                    images_lr=host_normalize_u8(
+                        arrays["images_lr"], cfg.args.mask
+                    ),
+                )
             n_real = arrays["images_lr"].shape[0]
             # pad tail batches to the full batch size so the jitted eval
             # step compiles once (and stays divisible by the mesh)
