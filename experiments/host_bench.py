@@ -58,26 +58,58 @@ def build_fixture(n: int) -> str:
     return ROOT
 
 
+def decode_floor(n: int = 2000) -> None:
+    """The irreducible per-sample host cost: cv2 JPEG decode of one HR+LR
+    pair.  Everything else the float collate does (resize is a no-op at
+    stored size, normalize, mask luma, label spread) sits on top of this."""
+    import cv2
+
+    from tatt_tpu.data.lmdb_lite import LmdbEnv
+
+    env = LmdbEnv(ROOT)
+    bufs = [
+        (
+            np.frombuffer(env.get(b"image_hr-%09d" % (i + 1)), np.uint8),
+            np.frombuffer(env.get(b"image_lr-%09d" % (i + 1)), np.uint8),
+        )
+        for i in range(n)
+    ]
+    env.close()
+    nbytes = sum(h.nbytes + l.nbytes for h, l in bufs)
+    t0 = time.perf_counter()
+    for h, l in bufs:
+        cv2.imdecode(h, cv2.IMREAD_COLOR)
+        cv2.imdecode(l, cv2.IMREAD_COLOR)
+    dt = time.perf_counter() - t0
+    print(
+        f"decode floor: {n/dt:8.1f} samples/sec "
+        f"({nbytes/dt/1e6:.0f} MB/s compressed, {dt:.2f}s)"
+    )
+
+
 def main(n: int = 10000) -> None:
     build_fixture(n)
     ds = LmdbTextDataset(ROOT)
-    kw = dict(width=128, height=32, down_sample_scale=2, mask=True)
-    for workers in (1, 2, 4):
-        loader = DataLoader(
-            ds, BATCH, shuffle=True, drop_last=True,
-            collate_kwargs=kw, num_workers=workers,
-        )
-        # warm one batch (thread pool spin-up, page cache)
-        next(iter(loader))
-        t0 = time.perf_counter()
-        n_img = 0
-        for batch in loader:
-            n_img += batch.images_hr.shape[0]
-        dt = time.perf_counter() - t0
-        print(
-            f"workers={workers}: {n_img/dt:8.1f} samples/sec "
-            f"({n_img} samples, {dt:.2f}s)"
-        )
+    decode_floor()
+    for raw in (False, True):
+        kw = dict(width=128, height=32, down_sample_scale=2, mask=True, raw=raw)
+        for workers in (1, 2, 4):
+            loader = DataLoader(
+                ds, BATCH, shuffle=True, drop_last=True,
+                collate_kwargs=kw, num_workers=workers,
+            )
+            # warm one batch (thread pool spin-up, page cache)
+            next(iter(loader))
+            t0 = time.perf_counter()
+            n_img = 0
+            for batch in loader:
+                n_img += batch.images_hr.shape[0]
+            dt = time.perf_counter() - t0
+            path = "raw-u8" if raw else "float "
+            print(
+                f"{path} workers={workers}: {n_img/dt:8.1f} samples/sec "
+                f"({n_img} samples, {dt:.2f}s)"
+            )
 
 
 if __name__ == "__main__":

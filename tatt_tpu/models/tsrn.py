@@ -197,7 +197,7 @@ class TSRN(nn.Module):
         # NHWC trunk (see TATT) with NCHW I/O
         b1 = PReLU(name="block1_act")(
             Conv2d(
-                ch, (9, 9), padding=(4, 4), data_format="NHWC",
+                ch, (9, 9), padding=(4, 4), lane_pack=4, data_format="NHWC",
                 name="block1_conv",
             )(x.transpose(0, 2, 3, 1))
         )
@@ -251,7 +251,7 @@ class TSRN_TL(nn.Module):
         # prior map transposes once at the seam.
         b1 = PReLU(name="block1_act")(
             Conv2d(
-                ch, (9, 9), padding=(4, 4), data_format="NHWC",
+                ch, (9, 9), padding=(4, 4), lane_pack=4, data_format="NHWC",
                 name="block1_conv",
             )(x.transpose(0, 2, 3, 1))
         )
@@ -348,7 +348,7 @@ class TSRN_TL_SFT(nn.Module):
         # NHWC trunk (see TATT); InfoGen stays NCHW, its map transposes once.
         b1 = PReLU(name="block1_act")(
             Conv2d(
-                ch, (9, 9), padding=(4, 4), data_format="NHWC",
+                ch, (9, 9), padding=(4, 4), lane_pack=4, data_format="NHWC",
                 name="block1_conv",
             )(x.transpose(0, 2, 3, 1))
         )
@@ -409,7 +409,7 @@ class TSRN_C2F(nn.Module):
         # NHWC trunk (see TATT) with NCHW I/O
         b1 = PReLU(name="block1_act")(
             Conv2d(
-                ch, (9, 9), padding=(4, 4), data_format="NHWC",
+                ch, (9, 9), padding=(4, 4), lane_pack=4, data_format="NHWC",
                 name="block1_conv",
             )(x.transpose(0, 2, 3, 1))
         )
@@ -602,7 +602,7 @@ class TATT(nn.Module):
         xh = x.transpose(0, 2, 3, 1)
         b1 = PReLU(name="block1_act")(
             Conv2d(
-                ch, (9, 9), padding=(4, 4), data_format="NHWC",
+                ch, (9, 9), padding=(4, 4), lane_pack=4, data_format="NHWC",
                 name="block1_conv",
             )(xh)
         )
