@@ -32,6 +32,23 @@ ASSET = os.path.join(
 )
 
 
+def set_lr(trainer, new_lr: float) -> None:
+    """Stage-2 lr drop without a checkpoint round-trip: the same
+    opt-state hyperparams surgery Trainer.resume performs for the
+    reference's ``--resume`` + new-lr stage (``train_TATT.sh:2``)."""
+    import jax.numpy as jnp
+
+    opt = trainer.state.opt_state
+    hp = dict(opt.hyperparams)
+    hp["learning_rate"] = jnp.asarray(
+        new_lr, jnp.asarray(hp["learning_rate"]).dtype
+    )
+    trainer.state = trainer.state.replace(
+        opt_state=opt._replace(hyperparams=hp)
+    )
+    trainer.cfg.args.lr = new_lr
+
+
 def main(iters: int = 5000) -> None:
     from tatt_tpu.core.checkpoint import load_variables_npz
     from tatt_tpu.core.config import Config
@@ -68,7 +85,13 @@ def main(iters: int = 5000) -> None:
     cfg.TRAIN.ckpt_dir = "ckpt/soak_r4_judge"
     cfg.TRAIN.displayInterval = 100
 
-    train_ds = SyntheticTextDataset(n=4096, seed=1)
+    # a unique-sample STREAM: the first soak attempt trained 78 epochs
+    # over 4096 fixed crops and memorized their per-pixel HR noise — val
+    # PSNR peaked at epoch ~6 then declined.  n >> iters*batch means no
+    # sample repeats (the reference trains one pass over 17k+ real crops
+    # per epoch, hundreds of epochs — repeats of REAL noise, which is
+    # exactly what our fixed-fixture repeats failed to emulate).
+    train_ds = SyntheticTextDataset(n=1_000_000, seed=1, cache=False)
     val_ds = SyntheticTextDataset(n=256, seed=2)
 
     trainer = Trainer(
@@ -86,7 +109,13 @@ def main(iters: int = 5000) -> None:
     print("iter 0 eval: " + json.dumps({k: round(float(v), 4) for k, v in base.items()
                                         if isinstance(v, (int, float))}), flush=True)
 
+    # two-stage schedule (train_TATT.sh:1-2): lr 1e-3 for the first ~2/3,
+    # then the finetune stage at 2e-4
+    stage1 = (iters * 2) // 3
     t0 = time.time()
+    trainer.train(max_iters=stage1)
+    set_lr(trainer, 2e-4)
+    print(f"stage 2: lr -> 2e-4 at iter {stage1}", flush=True)
     trainer.train(max_iters=iters)
     wall = time.time() - t0
 

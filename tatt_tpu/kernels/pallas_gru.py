@@ -353,6 +353,111 @@ def _core_bwd(interpret, res, dout):
 bigru_core.defvjp(_core_fwd, _core_bwd)
 
 
+# ---------------------------------------------------------------------------
+# 4-D NHWC entry: scan a chosen spatial axis WITHOUT transposing the
+# activation.  GruBlock's gru1 scans HEIGHT; the 3-D API forces the caller
+# to relayout [N,H,W,C] -> [N,W,H,C] going in and back coming out (the
+# round-4 trace priced those H<->W copies + the seam reshapes at
+# ~2.4 ms/step across the 5 TL blocks, tsrn.py:71-130).  Here the gates
+# projection einsum reads the NHWC tensor directly (contraction over C is
+# layout-native) and emits straight into the kernel's [2, L, 3H, R]
+# blocked layout — the only relayout left is the one the kernel's
+# R-minor <-> C-minor boundary inherently requires, once on the way out.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def bigru_core_nhwc(x4, w_eff, b_eff, w_hh, b_hh, scan_axis, interpret=False):
+    """Bidirectional GRU over axis ``scan_axis`` (1=H or 2=W) of ``x4``
+    [N, H, W, C], with pre-composed input projections ``w_eff``
+    [2, 3H, C] / ``b_eff`` [2, 3H].  Returns [N, H, W, 2H] — the scanned
+    axis keeps its place; no input transpose is ever materialized."""
+    out, _ = _core4_fwd_impl(x4, w_eff, b_eff, w_hh, b_hh, scan_axis,
+                             interpret)
+    return out
+
+
+def _core4_fwd_impl(x4, w_eff, b_eff, w_hh, b_hh, scan_axis, interpret):
+    assert scan_axis in (1, 2), scan_axis
+    n, h, w, _ = x4.shape
+    dt = x4.dtype
+    hdim = w_hh.shape[-1]
+    if scan_axis == 2:  # scan width; rows = N*H
+        gates = jnp.einsum("nhwc,dgc->dwgnh", x4, w_eff.astype(dt))
+        length, rows = w, n * h
+    else:  # scan height; rows = N*W
+        gates = jnp.einsum("nhwc,dgc->dhgnw", x4, w_eff.astype(dt))
+        length, rows = h, n * w
+    gates = gates.reshape(2, length, 3 * hdim, rows) + b_eff.astype(dt)[
+        :, None, :, None
+    ]
+    ysf, ysb = _fwd_call(gates, w_hh.astype(dt), b_hh.astype(dt), interpret)
+    out = jnp.concatenate([ysf, ysb], axis=1)  # [L, 2H, R]
+    if scan_axis == 2:
+        out = out.reshape(w, 2 * hdim, n, h).transpose(2, 3, 0, 1)
+    else:
+        out = out.reshape(h, 2 * hdim, n, w).transpose(2, 0, 3, 1)
+    return out, (x4, w_eff, b_eff, gates, ysf, ysb, w_hh, b_hh)
+
+
+def _core4_fwd(x4, w_eff, b_eff, w_hh, b_hh, scan_axis, interpret):
+    return _core4_fwd_impl(x4, w_eff, b_eff, w_hh, b_hh, scan_axis, interpret)
+
+
+def _core4_bwd(scan_axis, interpret, res, dout):
+    x4, w_eff, b_eff, gates, ysf, ysb, w_hh, b_hh = res
+    dt = gates.dtype
+    hdim = w_hh.shape[-1]
+    n, h, w, _ = x4.shape
+    if scan_axis == 2:
+        dys = dout.astype(dt).transpose(2, 3, 0, 1).reshape(w, 2 * hdim, -1)
+    else:
+        dys = dout.astype(dt).transpose(1, 3, 0, 2).reshape(h, 2 * hdim, -1)
+    dyf, dyb = dys[:, :hdim], dys[:, hdim:]
+    ypf = jnp.concatenate([jnp.zeros_like(ysf[:1]), ysf[:-1]], axis=0)
+    ypb = jnp.concatenate([ysb[1:], jnp.zeros_like(ysb[:1])], axis=0)
+    dgxf, dgxb, dw_hh, db_hh = _bwd_call(
+        w_hh.astype(dt), b_hh.astype(dt), gates, ypf, ypb, dyf, dyb,
+        interpret,
+    )
+    # dx in [L, R, C] (the dot's natural layout), then major-dims-only
+    # swaps back to NHWC — tile-granular, same as the 3-D path
+    dx = jnp.einsum("lgr,gc->lrc", dgxf, w_eff[0].astype(dt)) + jnp.einsum(
+        "lgr,gc->lrc", dgxb, w_eff[1].astype(dt)
+    )
+    if scan_axis == 2:
+        dx = dx.reshape(w, n, h, -1).transpose(1, 2, 0, 3)
+        dgxf4 = dgxf.reshape(w, 3 * hdim, n, h)
+        dgxb4 = dgxb.reshape(w, 3 * hdim, n, h)
+        dw_eff = jnp.stack(
+            [
+                jnp.einsum("wgnh,nhwc->gc", dgxf4, x4),
+                jnp.einsum("wgnh,nhwc->gc", dgxb4, x4),
+            ]
+        )
+    else:
+        dx = dx.reshape(h, n, w, -1).transpose(1, 0, 2, 3)
+        dgxf4 = dgxf.reshape(h, 3 * hdim, n, w)
+        dgxb4 = dgxb.reshape(h, 3 * hdim, n, w)
+        dw_eff = jnp.stack(
+            [
+                jnp.einsum("hgnw,nhwc->gc", dgxf4, x4),
+                jnp.einsum("hgnw,nhwc->gc", dgxb4, x4),
+            ]
+        )
+    db_eff = jnp.stack([dgxf.sum(axis=(0, 2)), dgxb.sum(axis=(0, 2))])
+    return (
+        dx.astype(x4.dtype),
+        dw_eff.astype(w_eff.dtype),
+        db_eff.astype(b_eff.dtype),
+        dw_hh.astype(w_hh.dtype),
+        db_hh.astype(b_hh.dtype),
+    )
+
+
+bigru_core_nhwc.defvjp(_core4_fwd, _core4_bwd)
+
+
 def bigru_pallas(
     x: jnp.ndarray,
     w_ih: jnp.ndarray,

@@ -190,7 +190,13 @@ class BiGRU(nn.Module):
         x: jnp.ndarray,
         pre_kernel: Optional[jnp.ndarray] = None,
         pre_bias: Optional[jnp.ndarray] = None,
+        scan_axis: int = 2,
     ) -> jnp.ndarray:
+        """``x`` [R, L, In] (3-D) or NHWC [N, H, W, In] (4-D).  For 4-D
+        input, ``scan_axis`` picks the recurrence axis (1=H, 2=W) and no
+        input transpose is materialized on the fused-kernel path — see
+        ``pallas_gru.bigru_core_nhwc``.  Returns [R, L, 2H] or
+        [N, H, W, 2H]."""
         in_f = x.shape[-1] if pre_kernel is None else pre_kernel.shape[0]
         init = _rnn_param_init(in_f, self.hidden)
         w_ih = self.param("w_ih", init, (2, 3 * self.hidden, in_f))
@@ -206,6 +212,25 @@ class BiGRU(nn.Module):
         # only pays off for many-row, small-hidden recurrences (the
         # GruBlocks).  Few-row / wide-hidden cases (the TP query GRU:
         # rows=1, H=512) pad catastrophically — keep those on the scan.
+        if x.ndim == 4:
+            n, h, w, _ = x.shape
+            rows = n * w if scan_axis == 1 else n * h
+            if _use_pallas_gru() and rows >= 128 and self.hidden <= 128:
+                from tatt_tpu.kernels.pallas_gru import bigru_core_nhwc
+
+                return bigru_core_nhwc(
+                    x, w_eff, b_eff, w_hh, b_hh, scan_axis
+                )
+            # scan fallback (CPU): the classic transpose + sequence view
+            if scan_axis == 1:
+                seq = x.transpose(0, 2, 1, 3).reshape(n * w, h, x.shape[-1])
+                y = bigru_apply(seq, w_eff, w_hh, b_eff, b_hh)
+                return y.reshape(n, w, h, 2 * self.hidden).transpose(
+                    0, 2, 1, 3
+                )
+            seq = x.reshape(n * h, w, x.shape[-1])
+            y = bigru_apply(seq, w_eff, w_hh, b_eff, b_hh)
+            return y.reshape(n, h, w, 2 * self.hidden)
         rows = x.shape[0]
         if _use_pallas_gru() and rows >= 128 and self.hidden <= 128:
             from tatt_tpu.kernels.pallas_gru import bigru_core

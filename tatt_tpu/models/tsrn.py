@@ -39,16 +39,18 @@ from tatt_tpu.models.tp_interpreter import TPInterpreter
 
 
 class GruBlock(nn.Module):
-    """1x1 conv then BiGRU over the last spatial axis of the input,
-    batched as B*H sequences (``model/tsrn.py:1067-1084``).
+    """1x1 conv then BiGRU over a spatial axis of the input, batched as
+    B*H (or B*W) sequences (``model/tsrn.py:1067-1084``).
 
-    ``data_format='NHWC'``: the sequence view [N*H, W, C] is a pure
-    reshape of the feature-minor activation — the conv<->GRU relayout
-    copies the NCHW path pays (measured ~5 ms/step across the 10
-    GruBlocks, round-3 trace) disappear."""
+    ``data_format='NHWC'``: the 4-D activation goes to the fused GRU
+    as-is with ``scan_axis`` picking the recurrence axis — the H<->W
+    transposes the reference pays around its height-GRU (and the
+    conv<->GRU relayout copies of the NCHW path, ~5 ms/step across the
+    10 GruBlocks in the round-3 trace) are never materialized."""
 
     out_channels: int
     data_format: str = "NCHW"
+    scan: str = "w"  # "w" or "h" (NHWC path only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -67,10 +69,13 @@ class GruBlock(nn.Module):
         pre_k = kernel[:, :, 0, 0]  # [Cmid, Cin]
         gru = BiGRU(hidden=self.out_channels // 2, name="gru")
         if nhwc:
-            n, h, w, c = x.shape
-            seq = x.reshape(n * h, w, c)
-            seq = gru(seq, pre_kernel=pre_k, pre_bias=bias)
-            return seq.reshape(n, h, w, self.out_channels)
+            return gru(
+                x,
+                pre_kernel=pre_k,
+                pre_bias=bias,
+                scan_axis=1 if self.scan == "h" else 2,
+            )
+        assert self.scan == "w", "NCHW path scans W; transpose at the caller"
         n, c, h, w = x.shape
         seq = x.transpose(0, 2, 3, 1).reshape(n * h, w, c)
         seq = gru(seq, pre_kernel=pre_k, pre_bias=bias)
@@ -91,11 +96,14 @@ class RecurrentResidualBlock(nn.Module):
         r = mish(r)
         r = Conv2d(self.channels, data_format=df, name="conv2")(r)
         r = BatchNorm2d(data_format=df, name="bn2")(r, train)
-        # gru1 over height: reference transposes H<->W around GruBlock
-        swap = (0, 2, 1, 3) if df == "NHWC" else (0, 1, 3, 2)
-        r = GruBlock(self.channels, data_format=df, name="gru1")(
-            r.transpose(*swap)
-        ).transpose(*swap)
+        # gru1 over height: the reference transposes H<->W around its
+        # GruBlock; NHWC scans H in place via scan="h"
+        if df == "NHWC":
+            r = GruBlock(self.channels, data_format=df, scan="h", name="gru1")(r)
+        else:
+            r = GruBlock(self.channels, data_format=df, name="gru1")(
+                r.transpose(0, 1, 3, 2)
+            ).transpose(0, 1, 3, 2)
         return GruBlock(self.channels, data_format=df, name="gru2")(x + r)
 
 
@@ -122,11 +130,13 @@ class RecurrentResidualBlockTL(nn.Module):
         cat = jnp.concatenate(
             [r, text_emb.astype(r.dtype)], axis=3 if nhwc else 1
         )
-        # gru1 scans HEIGHT: swap H<->W around the block
-        swap = (0, 2, 1, 3) if nhwc else (0, 1, 3, 2)
-        r = GruBlock(self.channels, data_format=df, name="gru1")(
-            cat.transpose(*swap)
-        ).transpose(*swap)
+        # gru1 scans HEIGHT: NHWC scans in place; NCHW swaps H<->W
+        if nhwc:
+            r = GruBlock(self.channels, data_format=df, scan="h", name="gru1")(cat)
+        else:
+            r = GruBlock(self.channels, data_format=df, name="gru1")(
+                cat.transpose(0, 1, 3, 2)
+            ).transpose(0, 1, 3, 2)
         return GruBlock(self.channels, data_format=df, name="gru2")(x + r)
 
 

@@ -123,3 +123,66 @@ def test_pallas_gru_pre_projection_fold():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), atol=2e-4, rtol=1e-3, err_msg=name
         )
+
+
+@pytest.mark.parametrize("scan_axis", [1, 2])
+def test_pallas_gru_nhwc_scan_axis_matches_transposed(scan_axis):
+    """The 4-D NHWC entry scanning axis 1 (H) or 2 (W) in place equals the
+    classic transpose + [R, L, C] path, for values AND all grads — the
+    relayout-free gru1 path (GruBlock scan="h")."""
+    from tatt_tpu.kernels.pallas_gru import bigru_core_nhwc
+
+    n, h, w, c, hidden = 2, 4, 6, 10, 8
+    x4 = jnp.asarray(RNG.standard_normal((n, h, w, c)).astype(np.float32))
+    w_ih, w_hh, b_ih, b_hh = map(jnp.asarray, _params(c, hidden))
+
+    def loss_ref(x_, w_ih_, w_hh_, b_hh_):
+        if scan_axis == 1:
+            seq = x_.transpose(0, 2, 1, 3).reshape(n * w, h, c)
+            y = bigru_apply(seq, w_ih_, w_hh_, b_ih, b_hh_)
+            y = y.reshape(n, w, h, 2 * hidden).transpose(0, 2, 1, 3)
+        else:
+            seq = x_.reshape(n * h, w, c)
+            y = bigru_apply(seq, w_ih_, w_hh_, b_ih, b_hh_)
+            y = y.reshape(n, h, w, 2 * hidden)
+        return y, (y * jnp.cos(jnp.arange(y.size).reshape(y.shape))).sum()
+
+    def loss_nhwc(x_, w_ih_, w_hh_, b_hh_):
+        y = bigru_core_nhwc(
+            x_, w_ih_, b_ih, w_hh_, b_hh_, scan_axis, True
+        )
+        return y, (y * jnp.cos(jnp.arange(y.size).reshape(y.shape))).sum()
+
+    want_y, _ = loss_ref(x4, w_ih, w_hh, b_hh)
+    got_y, _ = loss_nhwc(x4, w_ih, w_hh, b_hh)
+    np.testing.assert_allclose(
+        np.asarray(got_y), np.asarray(want_y), atol=1e-5, rtol=1e-4
+    )
+
+    want_g = jax.grad(lambda *a: loss_ref(*a)[1], argnums=(0, 1, 2, 3))(
+        x4, w_ih, w_hh, b_hh
+    )
+    got_g = jax.grad(lambda *a: loss_nhwc(*a)[1], argnums=(0, 1, 2, 3))(
+        x4, w_ih, w_hh, b_hh
+    )
+    for g, wt, name in zip(got_g, want_g, ("dx", "dw_ih", "dw_hh", "db_hh")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wt), atol=2e-4, rtol=1e-3, err_msg=name
+        )
+
+
+def test_grublock_nhwc_scan_h_matches_nchw():
+    """GruBlock(scan="h") on NHWC == the NCHW transpose formulation with
+    identical params (the RecurrentResidualBlock gru1 seam)."""
+    from tatt_tpu.models.tsrn import GruBlock
+
+    n, c, h, w = 2, 10, 4, 6
+    x = jnp.asarray(RNG.standard_normal((n, c, h, w)).astype(np.float32))
+    nchw = GruBlock(8, data_format="NCHW")
+    nhwc = GruBlock(8, data_format="NHWC", scan="h")
+    variables = nchw.init(jax.random.PRNGKey(3), x.transpose(0, 1, 3, 2))
+    want = nchw.apply(variables, x.transpose(0, 1, 3, 2)).transpose(0, 1, 3, 2)
+    got = nhwc.apply(variables, x.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-4
+    )
