@@ -130,18 +130,24 @@ def _gru_bwd_step(w_d, b_d, gx, h_prev, dh_in, hdim):
 
 
 def _gru_bwd_kernel(
-    w_ref, b_ref, gxf_ref, gxb_ref, ypf_ref, ypb_ref, dyf_ref, dyb_ref,
-    dgxf_ref, dgxb_ref, dw_ref, db_ref, dh_ref,
+    w_ref, b_ref, gxf_ref, gxb_ref, ysfA_ref, ysfB_ref, ysbA_ref, ysbB_ref,
+    dyf_ref, dyb_ref,
+    dgxf_ref, dgxb_ref, dw_ref, db_ref, dbx_ref, dh_ref,
 ):
     """Backward grid step of CHUNK timesteps, each direction walking its
     own processing order in reverse: dir 0 reads chunks ``nt-1-i`` with
     in-chunk time descending; dir 1 reads chunks ``i`` ascending.
-    ``ypf/ypb`` hold each direction's previous-hidden-state sequence in
-    forward-time indexing (zeros at the direction's seed step, built by
-    the caller).  dw/db accumulate across the whole grid in f32 output
-    blocks."""
+
+    ``h_prev`` comes straight from the saved hidden-state sequences —
+    nothing shifted is materialized in HBM: each direction streams its
+    own ys block TWICE (A = the processing chunk, B = the time-adjacent
+    chunk) and the one step per chunk that crosses the block boundary
+    reads B; the direction's global seed step uses zeros.  dw/db (hidden
+    side) and dbx (input-gate bias side, saving the caller's [L, 3H, R]
+    reduction) accumulate across the whole grid in f32 output blocks."""
     rt = pl.program_id(0)
     i = pl.program_id(1)  # fastest grid dim
+    nt = pl.num_programs(1)
     chunk = gxf_ref.shape[1]
     hdim = dh_ref.shape[1]
 
@@ -153,11 +159,21 @@ def _gru_bwd_kernel(
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
+        dbx_ref[...] = jnp.zeros_like(dbx_ref)
 
     for s in range(chunk):
-        # direction 0: reverse of forward time
+        # direction 0: reverse of forward time; processing chunk nt-1-i.
+        # h_prev for in-chunk step sd is ysf[sd-1]; sd == 0 crosses into
+        # the previous chunk (ysfB, its last step), zeros at global t=0.
         sd = chunk - 1 - s
-        h_prev = ypf_ref[sd].astype(jnp.float32)
+        if sd > 0:
+            h_prev = ysfA_ref[sd - 1].astype(jnp.float32)
+        else:
+            h_prev = jnp.where(
+                i == nt - 1,  # processing chunk 0: the seed chunk
+                jnp.zeros((hdim, ysfA_ref.shape[2]), jnp.float32),
+                ysfB_ref[chunk - 1].astype(jnp.float32),
+            )
         dh_in = dh_ref[0] + dyf_ref[sd].astype(jnp.float32)
         d_gx, dh_prev, d_gh = _gru_bwd_step(
             w_ref[0], b_ref[0], gxf_ref[0, sd], h_prev, dh_in, hdim
@@ -167,9 +183,19 @@ def _gru_bwd_kernel(
             d_gh, h_prev.T, preferred_element_type=jnp.float32
         )
         db_ref[0] += d_gh.sum(axis=1, keepdims=True)
+        dbx_ref[0] += d_gx.sum(axis=1, keepdims=True)
         dh_ref[0] = dh_prev
-        # direction 1: reverse of its descending-time processing order
-        h_prev = ypb_ref[s].astype(jnp.float32)
+        # direction 1: reverse of its descending-time processing order;
+        # h_prev at step s is ysb[s+1]; s == chunk-1 crosses into the
+        # NEXT chunk (ysbB, its first step), zeros at global t=L-1.
+        if s < chunk - 1:
+            h_prev = ysbA_ref[s + 1].astype(jnp.float32)
+        else:
+            h_prev = jnp.where(
+                i == nt - 1,  # processing the last chunk: the seed chunk
+                jnp.zeros((hdim, ysbA_ref.shape[2]), jnp.float32),
+                ysbB_ref[0].astype(jnp.float32),
+            )
         dh_in = dh_ref[1] + dyb_ref[s].astype(jnp.float32)
         d_gx, dh_prev, d_gh = _gru_bwd_step(
             w_ref[1], b_ref[1], gxb_ref[0, s], h_prev, dh_in, hdim
@@ -179,6 +205,7 @@ def _gru_bwd_kernel(
             d_gh, h_prev.T, preferred_element_type=jnp.float32
         )
         db_ref[1] += d_gh.sum(axis=1, keepdims=True)
+        dbx_ref[1] += d_gx.sum(axis=1, keepdims=True)
         dh_ref[1] = dh_prev
 
 
@@ -194,7 +221,7 @@ def _pick_tiles(length: int, gdim: int, rows: int, backward: bool):
     # bytes streamed per chunk unit (x2 directions, f32):
     per_c = 2 * (gdim + hdim) * row_block * 4  # fwd: gx in + ys out
     if backward:
-        per_c = 2 * (2 * gdim + 3 * hdim) * row_block * 4  # + dgx, yp, dy
+        per_c = 2 * (2 * gdim + 4 * hdim) * row_block * 4  # + dgx, 2x ys, dy
     budget = 5 * 1024 * 1024  # x2 double-buffering ~ 10MB, rest for scratch
     chunk = 1
     for c in range(1, length + 1):
@@ -240,14 +267,18 @@ def _fwd_call(gates: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
     return ysf, ysb
 
 
-def _bwd_call(w_hh, b_hh, gates, ypf, ypb, dyf, dyb, interpret: bool):
+def _bwd_call(w_hh, b_hh, gates, ysf, ysb, dyf, dyb, interpret: bool):
     _, length, gdim, rows = gates.shape
     hdim = gdim // 3
     row_block, chunk = _pick_tiles(length, gdim, rows, backward=True)
     nt = length // chunk
     fwd_t = lambda r, i: (nt - 1 - i, 0, r)  # dir-0 refs: reverse order
     bwd_t = lambda r, i: (i, 0, r)  # dir-1 refs: forward order
-    dgxf, dgxb, dw, db = pl.pallas_call(
+    # the time-adjacent chunk each direction's boundary step reads from
+    # (clamped at the direction's seed chunk, where the kernel uses zeros)
+    fwd_prev = lambda r, i: (jnp.maximum(nt - 2 - i, 0), 0, r)
+    bwd_next = lambda r, i: (jnp.minimum(i + 1, nt - 1), 0, r)
+    dgxf, dgxb, dw, db, dbx = pl.pallas_call(
         _gru_bwd_kernel,
         grid=(rows // row_block, nt),
         in_specs=[
@@ -261,7 +292,9 @@ def _bwd_call(w_hh, b_hh, gates, ypf, ypb, dyf, dyb, interpret: bool):
                 (1, chunk, gdim, row_block), lambda r, i: (1, i, 0, r)
             ),
             pl.BlockSpec((chunk, hdim, row_block), fwd_t),
+            pl.BlockSpec((chunk, hdim, row_block), fwd_prev),
             pl.BlockSpec((chunk, hdim, row_block), bwd_t),
+            pl.BlockSpec((chunk, hdim, row_block), bwd_next),
             pl.BlockSpec((chunk, hdim, row_block), fwd_t),
             pl.BlockSpec((chunk, hdim, row_block), bwd_t),
         ],
@@ -270,17 +303,20 @@ def _bwd_call(w_hh, b_hh, gates, ypf, ypb, dyf, dyb, interpret: bool):
             pl.BlockSpec((chunk, gdim, row_block), bwd_t),
             pl.BlockSpec((2, gdim, hdim), lambda r, i: (0, 0, 0)),
             pl.BlockSpec((2, gdim, 1), lambda r, i: (0, 0, 0)),
+            pl.BlockSpec((2, gdim, 1), lambda r, i: (0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((length, gdim, rows), gates.dtype),
             jax.ShapeDtypeStruct((length, gdim, rows), gates.dtype),
             jax.ShapeDtypeStruct((2, gdim, hdim), jnp.float32),
             jax.ShapeDtypeStruct((2, gdim, 1), jnp.float32),
+            jax.ShapeDtypeStruct((2, gdim, 1), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((2, hdim, row_block), jnp.float32)],
         interpret=interpret,
-    )(w_hh, b_hh.reshape(2, gdim, 1), gates, gates, ypf, ypb, dyf, dyb)
-    return dgxf, dgxb, dw, db.reshape(2, gdim)
+    )(w_hh, b_hh.reshape(2, gdim, 1), gates, gates, ysf, ysf, ysb, ysb,
+      dyf, dyb)
+    return dgxf, dgxb, dw, db.reshape(2, gdim), dbx.reshape(2, gdim)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -316,12 +352,8 @@ def _core_bwd(interpret, res, dout):
     hdim = w_hh.shape[-1]
     dys = dout.astype(dt).transpose(1, 2, 0)  # [L, 2H, R]
     dyf, dyb = dys[:, :hdim], dys[:, hdim:]
-    # previous-hidden sequences in forward-time indexing: dir 0 seeds at
-    # t=0, dir 1 (descending scan) seeds at t=L-1
-    ypf = jnp.concatenate([jnp.zeros_like(ysf[:1]), ysf[:-1]], axis=0)
-    ypb = jnp.concatenate([ysb[1:], jnp.zeros_like(ysb[:1])], axis=0)
-    dgxf, dgxb, dw_hh, db_hh = _bwd_call(
-        w_hh.astype(dt), b_hh.astype(dt), gates, ypf, ypb, dyf, dyb,
+    dgxf, dgxb, dw_hh, db_hh, db_eff = _bwd_call(
+        w_hh.astype(dt), b_hh.astype(dt), gates, ysf, ysb, dyf, dyb,
         interpret,
     )
     # input-projection backward per direction — two large matmuls, no
@@ -340,7 +372,6 @@ def _core_bwd(interpret, res, dout):
             jnp.einsum("lgr,rli->gi", dgxb, x),
         ]
     )
-    db_eff = jnp.stack([dgxf.sum(axis=(0, 2)), dgxb.sum(axis=(0, 2))])
     return (
         dx.astype(x.dtype),
         dw_eff.astype(w_eff.dtype),
@@ -414,10 +445,8 @@ def _core4_bwd(scan_axis, interpret, res, dout):
     else:
         dys = dout.astype(dt).transpose(1, 3, 0, 2).reshape(h, 2 * hdim, -1)
     dyf, dyb = dys[:, :hdim], dys[:, hdim:]
-    ypf = jnp.concatenate([jnp.zeros_like(ysf[:1]), ysf[:-1]], axis=0)
-    ypb = jnp.concatenate([ysb[1:], jnp.zeros_like(ysb[:1])], axis=0)
-    dgxf, dgxb, dw_hh, db_hh = _bwd_call(
-        w_hh.astype(dt), b_hh.astype(dt), gates, ypf, ypb, dyf, dyb,
+    dgxf, dgxb, dw_hh, db_hh, db_eff = _bwd_call(
+        w_hh.astype(dt), b_hh.astype(dt), gates, ysf, ysb, dyf, dyb,
         interpret,
     )
     # dx in [L, R, C] (the dot's natural layout), then major-dims-only
@@ -445,7 +474,6 @@ def _core4_bwd(scan_axis, interpret, res, dout):
                 jnp.einsum("hgnw,nhwc->gc", dgxb4, x4),
             ]
         )
-    db_eff = jnp.stack([dgxf.sum(axis=(0, 2)), dgxb.sum(axis=(0, 2))])
     return (
         dx.astype(x4.dtype),
         dw_eff.astype(w_eff.dtype),
