@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -90,13 +91,20 @@ def tps_transform(
     k = source_ctrl.shape[1]
     th, tw = output_size
     inv_k, coord_repr = tps_matrices(th, tw, k, tuple(margins))
-    dt = images.dtype
+    # The solve MUST run in f32 at full precision: inverse_kernel entries
+    # reach ±87 and cancel down to grid coords in [0, 1], so the TPU's
+    # default bf16-multiply einsum yields grid errors up to ~0.4 image
+    # widths — enough to turn the warp into noise (round-4 soak collapse).
+    f32 = jnp.float32
     padded = jnp.concatenate(
-        [source_ctrl, jnp.zeros((n, 3, 2), source_ctrl.dtype)], axis=1
+        [source_ctrl.astype(f32), jnp.zeros((n, 3, 2), f32)], axis=1
     )
-    mapping = jnp.einsum("ab,nbc->nac", jnp.asarray(inv_k, dt), padded.astype(dt))
+    hi = jax.lax.Precision.HIGHEST
+    mapping = jnp.einsum(
+        "ab,nbc->nac", jnp.asarray(inv_k, f32), padded, precision=hi
+    )
     source_coord = jnp.einsum(
-        "ha,nac->nhc", jnp.asarray(coord_repr, dt), mapping
+        "ha,nac->nhc", jnp.asarray(coord_repr, f32), mapping, precision=hi
     )  # [N, HW, 2] in [0, 1]
     grid = source_coord.reshape(n, th, tw, 2)
     grid = jnp.clip(grid, 0.0, 1.0) * 2.0 - 1.0

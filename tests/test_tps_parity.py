@@ -52,6 +52,37 @@ def _torch_tps(images, source_ctrl, out_hw, num_ctrl=20, margins=(0.05, 0.05)):
     return F.grid_sample(images, grid, align_corners=False)
 
 
+def test_tps_solve_runs_at_full_precision():
+    """The TPS solve einsums must carry explicit HIGHEST precision: the
+    inverse kernel has entries up to ±87 that cancel down to [0, 1] grid
+    coords, so the TPU's default bf16-multiply einsum produces grid errors
+    of ~0.4 image widths (the round-4 soak collapse).  CPU runs are exact
+    either way, so pin the precision attribute in the jaxpr instead."""
+    import jax
+    import jax.numpy as jnp
+
+    images = jnp.zeros((2, 4, 16, 64), jnp.bfloat16)
+    ctrl = jnp.zeros((2, 20, 2), jnp.bfloat16)
+    jaxpr = jax.make_jaxpr(lambda im, c: tps_transform(im, c, (16, 64)))(
+        images, ctrl
+    )
+    dots = [
+        e
+        for e in jaxpr.jaxpr.eqns
+        if e.primitive.name == "dot_general"
+        # the two solve contractions have the (N+3)-sized contracting dim
+        and 23 in (e.invars[0].aval.shape + e.invars[1].aval.shape)
+    ]
+    assert len(dots) >= 2, "TPS solve einsums not found in jaxpr"
+    for e in dots:
+        assert e.params["precision"] == (
+            jax.lax.Precision.HIGHEST,
+            jax.lax.Precision.HIGHEST,
+        ), f"TPS solve dot_general lost HIGHEST precision: {e.params}"
+        for v in e.invars:
+            assert v.aval.dtype == jnp.float32, "TPS solve must run in f32"
+
+
 def test_tps_matches_reference():
     torch.set_num_threads(1)
     rng = np.random.default_rng(0)
