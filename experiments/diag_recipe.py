@@ -65,12 +65,15 @@ def main() -> None:
     cfg.TRAIN.displayInterval = 100
     if "lr" in flags:
         cfg.args.lr = flags.pop("lr")
+    misalign = float(flags.pop("misalign", 0.0))
     for k, v in flags.items():
         cur = getattr(cfg.args, k)
         setattr(cfg.args, k, type(cur)(v) if cur is not None else v)
 
-    train_ds = SyntheticTextDataset(n=1_000_000, seed=1, cache=False)
-    val_ds = SyntheticTextDataset(n=256, seed=2)
+    train_ds = SyntheticTextDataset(
+        n=1_000_000, seed=1, cache=False, misalign=misalign
+    )
+    val_ds = SyntheticTextDataset(n=256, seed=2, misalign=misalign)
 
     trainer = Trainer(
         cfg,

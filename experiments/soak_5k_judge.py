@@ -91,8 +91,16 @@ def main(iters: int = 5000) -> None:
     # sample repeats (the reference trains one pass over 17k+ real crops
     # per epoch, hundreds of epochs — repeats of REAL noise, which is
     # exactly what our fixed-fixture repeats failed to emulate).
-    train_ds = SyntheticTextDataset(n=1_000_000, seed=1, cache=False)
-    val_ds = SyntheticTextDataset(n=256, seed=2)
+    # misalign=2.0: TextZoom pairs are registered a few pixels off (the
+    # LR/HR crops come from different focal lengths) — that misalignment
+    # is the STN's actual job.  On a perfectly aligned fixture, train-only
+    # STN has no restoring gradient: it random-walks while the trunk
+    # co-adapts, and eval PSNR (unwarped inputs) decays even though train
+    # loss keeps falling (diag probes stn_fix vs stn_mis, BENCH_NOTES).
+    train_ds = SyntheticTextDataset(
+        n=1_000_000, seed=1, cache=False, misalign=2.0
+    )
+    val_ds = SyntheticTextDataset(n=256, seed=2, misalign=2.0)
 
     trainer = Trainer(
         cfg,

@@ -31,12 +31,22 @@ def render_sample(
     hr_size: tuple[int, int] = (128, 32),
     lr_size: tuple[int, int] = (64, 16),
     charset: str | None = None,
+    misalign: float = 0.0,
 ) -> tuple[Image.Image, Image.Image, str]:
     """Returns (img_HR, img_lr, label).  ``charset`` defaults to
     lowercase+digits; a Chinese charset yields Chinese labels (PIL's
     built-in bitmap font cannot draw CJK glyphs, so the pixels then carry
     an ASCII placeholder — fixture images exercise shapes/metrics, not
-    OCR legibility)."""
+    OCR legibility).
+
+    ``misalign`` > 0 translates the LR crop by a per-sample uniform
+    offset of up to that many HR pixels before downsampling — emulating
+    TextZoom's imperfectly registered LR/HR pairs (the pairs come from
+    different focal lengths; registration is a few pixels off), which is
+    what gives the STN rectifier a real restoring gradient.  Aligned
+    fixtures (the default) leave train-only STN with no anchor: it
+    random-walks while the trunk co-adapts, so eval PSNR on unwarped
+    inputs decays even as train loss falls."""
     w, h = hr_size
     charset = charset or (string.ascii_lowercase + string.digits)
     label = "".join(rng.choice(charset) for _ in range(rng.randint(2, 8)))
@@ -67,9 +77,20 @@ def render_sample(
     x = rng.randint(1, max(w - tw - 2, 1)) - left
     y = rng.randint(0, max(h - th - 1, 0)) - top
     draw.text((x, y), drawable, font=font, fill=(fg, fg, fg))
-    lr = img.filter(ImageFilter.GaussianBlur(radius=rng.uniform(0.8, 1.6))).resize(
-        lr_size, Image.BICUBIC
-    )
+    blurred = img.filter(ImageFilter.GaussianBlur(radius=rng.uniform(0.8, 1.6)))
+    if misalign > 0.0:
+        dx = rng.uniform(-misalign, misalign)
+        dy = rng.uniform(-misalign, misalign)
+        # subpixel translation (bilinear); edge pixels repeat via a
+        # pre-pad so the shifted crop has no black border seam
+        blurred = blurred.transform(
+            blurred.size,
+            Image.AFFINE,
+            (1.0, 0.0, dx, 0.0, 1.0, dy),
+            resample=Image.BILINEAR,
+            fillcolor=(bg, bg, bg),
+        )
+    lr = blurred.resize(lr_size, Image.BICUBIC)
     return img, lr, label
 
 
@@ -85,12 +106,14 @@ class SyntheticTextDataset:
         lr_size: tuple[int, int] = (64, 16),
         cache: bool = True,
         charset: str | None = None,
+        misalign: float = 0.0,
     ):
         self.n = n
         self.seed = seed
         self.hr_size = hr_size
         self.lr_size = lr_size
         self.charset = charset
+        self.misalign = misalign
         # rendering costs ~2 ms/sample on a 1-CPU host; samples are
         # deterministic per index, so memoize across epochs
         self._cache: dict[int, tuple] | None = {} if cache else None
@@ -102,7 +125,9 @@ class SyntheticTextDataset:
         if self._cache is not None and i in self._cache:
             return self._cache[i]
         rng = random.Random(self.seed * 1_000_003 + i)
-        sample = render_sample(rng, self.hr_size, self.lr_size, self.charset)
+        sample = render_sample(
+            rng, self.hr_size, self.lr_size, self.charset, self.misalign
+        )
         if self._cache is not None:
             self._cache[i] = sample
         return sample

@@ -97,13 +97,15 @@ class RecurrentResidualBlock(nn.Module):
         r = Conv2d(self.channels, data_format=df, name="conv2")(r)
         r = BatchNorm2d(data_format=df, name="bn2")(r, train)
         # gru1 over height: the reference transposes H<->W around its
-        # GruBlock; NHWC scans H in place via scan="h"
-        if df == "NHWC":
-            r = GruBlock(self.channels, data_format=df, scan="h", name="gru1")(r)
-        else:
-            r = GruBlock(self.channels, data_format=df, name="gru1")(
-                r.transpose(0, 1, 3, 2)
-            ).transpose(0, 1, 3, 2)
+        # GruBlock.  The in-place scan="h" variant exists and is
+        # equivalence-tested, but benches 7% SLOWER end-to-end than the
+        # transpose formulation (2,111 vs 2,275 img/s — the short H=16
+        # scan axis costs the kernel more than the relayout it saves),
+        # so the wiring keeps the transposes.
+        swap = (0, 2, 1, 3) if df == "NHWC" else (0, 1, 3, 2)
+        r = GruBlock(self.channels, data_format=df, name="gru1")(
+            r.transpose(*swap)
+        ).transpose(*swap)
         return GruBlock(self.channels, data_format=df, name="gru2")(x + r)
 
 
@@ -130,13 +132,12 @@ class RecurrentResidualBlockTL(nn.Module):
         cat = jnp.concatenate(
             [r, text_emb.astype(r.dtype)], axis=3 if nhwc else 1
         )
-        # gru1 scans HEIGHT: NHWC scans in place; NCHW swaps H<->W
-        if nhwc:
-            r = GruBlock(self.channels, data_format=df, scan="h", name="gru1")(cat)
-        else:
-            r = GruBlock(self.channels, data_format=df, name="gru1")(
-                cat.transpose(0, 1, 3, 2)
-            ).transpose(0, 1, 3, 2)
+        # gru1 scans HEIGHT via H<->W transposes (the in-place scan="h"
+        # variant benches 7% slower end-to-end; see RecurrentResidualBlock)
+        swap = (0, 2, 1, 3) if nhwc else (0, 1, 3, 2)
+        r = GruBlock(self.channels, data_format=df, name="gru1")(
+            cat.transpose(*swap)
+        ).transpose(*swap)
         return GruBlock(self.channels, data_format=df, name="gru2")(x + r)
 
 

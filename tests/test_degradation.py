@@ -104,3 +104,28 @@ def test_collate_syn_emits_pseudo_lr():
     # non-syn collate leaves the slot empty
     b3 = collate([ds[i] for i in range(4)])
     assert b3.images_pseudo_lr is None
+
+
+def test_synthetic_misalign_shifts_lr_only():
+    """misalign > 0 translates the LR crop relative to HR (TextZoom-style
+    registration error) deterministically; HR and label are untouched."""
+    import numpy as np
+
+    from tatt_tpu.data.synthetic import SyntheticTextDataset
+
+    ali = SyntheticTextDataset(n=4, seed=1)
+    mis = SyntheticTextDataset(n=4, seed=1, misalign=2.0)
+    mis2 = SyntheticTextDataset(n=4, seed=1, misalign=2.0)
+    moved = 0.0
+    for i in range(4):
+        hr_a, lr_a, lab_a = ali[i]
+        hr_m, lr_m, lab_m = mis[i]
+        assert lab_a == lab_m
+        assert np.array_equal(np.asarray(hr_a), np.asarray(hr_m))
+        assert np.array_equal(np.asarray(lr_m), np.asarray(mis2[i][1]))
+        moved += float(
+            np.abs(
+                np.asarray(lr_a, np.float32) - np.asarray(lr_m, np.float32)
+            ).mean()
+        )
+    assert moved > 1.0  # the translation visibly moved pixels
