@@ -81,8 +81,10 @@ def render_sample(
     if misalign > 0.0:
         dx = rng.uniform(-misalign, misalign)
         dy = rng.uniform(-misalign, misalign)
-        # subpixel translation (bilinear); edge pixels repeat via a
-        # pre-pad so the shifted crop has no black border seam
+        # subpixel translation (bilinear); shifted-in border rows are
+        # filled with the constant bg level (noise-free, a faint
+        # statistical seam vs the sigma=12 background — acceptable for
+        # fixtures)
         blurred = blurred.transform(
             blurred.size,
             Image.AFFINE,

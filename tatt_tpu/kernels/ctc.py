@@ -22,6 +22,11 @@ def ctc_loss(
     blank: int = 0,
 ) -> jnp.ndarray:
     """Per-sample negative log likelihood [B] (reduction='none')."""
+    # The log-semiring scan accumulates ~T=26 logaddexp steps; in bf16
+    # the per-step rounding (rel 2^-8) compounds into O(0.1) nll error.
+    # Always run the dynamic program in f32 (pinned by
+    # tests/test_precision_audit.py).
+    log_probs = log_probs.astype(jnp.float32)
     t_max, b, c = log_probs.shape
     s_max = targets.shape[1]
     l = 2 * s_max + 1  # extended label length

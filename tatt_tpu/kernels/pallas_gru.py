@@ -221,7 +221,8 @@ def _pick_tiles(length: int, gdim: int, rows: int, backward: bool):
     # bytes streamed per chunk unit (x2 directions, f32):
     per_c = 2 * (gdim + hdim) * row_block * 4  # fwd: gx in + ys out
     if backward:
-        per_c = 2 * (2 * gdim + 4 * hdim) * row_block * 4  # + dgx, 2x ys, dy
+        # per direction: gx in + dgx out (gdim each) + ysA/ysB/dy (hdim each)
+        per_c = 2 * (2 * gdim + 3 * hdim) * row_block * 4
     budget = 5 * 1024 * 1024  # x2 double-buffering ~ 10MB, rest for scratch
     chunk = 1
     for c in range(1, length + 1):

@@ -221,7 +221,9 @@ class BiGRU(nn.Module):
                 return bigru_core_nhwc(
                     x, w_eff, b_eff, w_hh, b_hh, scan_axis
                 )
-            # scan fallback (CPU): the classic transpose + sequence view
+            # scan fallback (CPU, or small-rows/wide-hidden on TPU): the
+            # classic transpose + sequence view — this branch DOES
+            # materialize the H<->W transpose the NHWC entry avoids
             if scan_axis == 1:
                 seq = x.transpose(0, 2, 1, 3).reshape(n * w, h, x.shape[-1])
                 y = bigru_apply(seq, w_eff, w_hh, b_eff, b_hh)

@@ -391,9 +391,12 @@ class BatchNorm2d(nn.Module):
                 else:
                     mean, var = mean[:, :, None, None], var[:, :, None, None]
                 inv = jax.lax.rsqrt(var + self.epsilon) * bc(scale)[None]
-                return (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + bc(
-                    bias
-                )[None].astype(x.dtype)
+                # normalize in f32: centering with a bf16-cast mean loses
+                # eps*|mean| (test_precision_audit BN probe); the converts
+                # fuse into this elementwise, nothing f32 is materialized
+                return (
+                    (x.astype(jnp.float32) - mean) * inv + bc(bias)[None]
+                ).astype(x.dtype)
             x32 = x.astype(jnp.float32)
             mean = x32.mean(axis=red)
             var = x32.var(axis=red)
@@ -410,10 +413,12 @@ class BatchNorm2d(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        y = (x - bc(mean)[None].astype(x.dtype)) * bc(inv)[None].astype(
-            x.dtype
-        ) + bc(bias)[None].astype(x.dtype)
-        return y
+        # f32 normalize (see copies>1 branch): the f32 stats are exact but
+        # centering must not round the mean back to the compute dtype
+        y = (x.astype(jnp.float32) - bc(mean)[None]) * bc(inv)[None] + bc(
+            bias
+        )[None]
+        return y.astype(x.dtype)
 
 
 class BatchNorm1d(nn.Module):
@@ -455,9 +460,9 @@ class BatchNorm1d(nn.Module):
                 mean = jnp.repeat(mean_g, nb, axis=0)
                 var = jnp.repeat(var_g, nb, axis=0)
                 inv = jax.lax.rsqrt(var + self.epsilon) * scale[None]
-                return (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + bias[
-                    None
-                ].astype(x.dtype)
+                return (
+                    (x.astype(jnp.float32) - mean) * inv + bias[None]
+                ).astype(x.dtype)
             mean, var = x32.mean(axis=0), x32.var(axis=0)
             if not self.is_initializing():
                 n = x.shape[0]
@@ -471,9 +476,7 @@ class BatchNorm1d(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        return (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + bias.astype(
-            x.dtype
-        )
+        return ((x.astype(jnp.float32) - mean) * inv + bias).astype(x.dtype)
 
 
 class PReLU(nn.Module):

@@ -90,11 +90,23 @@ class MultiheadAttention(nn.Module):
         v = v.reshape(b, lk, self.nhead, hd).transpose(0, 2, 1, 3)
 
         scale = 1.0 / math.sqrt(hd)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        # logits accumulate in f32 and the softmax normalizes in f32
+        # (bf16 softmax weights carry rel 2^-8 rounding — the same class
+        # of landmine as the TPS solve; pinned by test_precision_audit).
+        # The QK^T multiplies stay in the compute dtype: the MXU pass is
+        # where the time is, and rel 2e-3 logit noise pre-softmax is
+        # benign (it perturbs weights ~0.4%, far under the f32->bf16
+        # cast the weights pay anyway on the second einsum).
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk",
+            q * scale,
+            k,
+            preferred_element_type=jnp.float32,
+        )
         weights = jax.nn.softmax(logits, axis=-1)
         if self.dropout > 0.0 and not deterministic:
             weights = nn.Dropout(rate=self.dropout, deterministic=False)(weights)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(dt), v)
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, c)
         out = out @ out_w.astype(dt).T + out_b.astype(dt)
         # torch returns weights averaged over heads: [B, Lq, Lk]
