@@ -119,6 +119,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ship uint8 crops and normalize inside the jitted "
                         "step (4x less H2D, near-zero host arithmetic; "
                         "RGB recipes only)")
+    p.add_argument("--bn_per_replica", action="store_true",
+                   help="compute BatchNorm batch stats per mesh shard "
+                        "(DataParallel per-replica semantics, "
+                        "interfaces/base.py:390) instead of the sync-BN "
+                        "default")
     p.add_argument("--log_dir", default="tensorboard")
     p.add_argument("--vis", action="store_true",
                    help="dump LR/SR/HR triptychs during eval")

@@ -140,6 +140,9 @@ class Flags:
     # near-zero host arithmetic; see data/device_pipeline.py).  RGB path
     # only — y_domain/syn fall back to the host collate.
     device_collate: bool = False
+    # per-replica BN batch stats under the mesh (DataParallel compat,
+    # interfaces/base.py:390); default False = sync-BN (models/common.py)
+    bn_per_replica: bool = False
     dtype: str = "float32"     # compute dtype for the model ("bfloat16" on TPU)
     log_dir: str = "tensorboard"
     tiny_tpg: bool = False     # shrink the CRNN for CPU smoke runs

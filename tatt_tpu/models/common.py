@@ -311,6 +311,28 @@ class ConvTranspose2d(nn.Module):
         return y
 
 
+_BN_REPLICAS = 1
+
+
+def set_bn_replicas(n: int) -> None:
+    """Per-replica BN compat knob (``--bn_per_replica``): set to the data-
+    parallel device count BEFORE tracing to have every BatchNorm compute
+    batch statistics per contiguous batch shard instead of globally —
+    mirroring ``torch.nn.DataParallel``'s per-replica stats
+    (``interfaces/base.py:390,688,846``; the reference wraps the SR model
+    AND the recognizers).  Running averages fold only each copy's
+    replica-0 group, matching DataParallel keeping only the master
+    replica's buffer updates.  Default 1 = sync-BN (see module docstring:
+    the deliberate, better-defined multi-chip default)."""
+    global _BN_REPLICAS
+    assert n >= 1
+    _BN_REPLICAS = int(n)
+
+
+def bn_replicas() -> int:
+    return _BN_REPLICAS
+
+
 class BatchNorm2d(nn.Module):
     """NCHW BatchNorm over (N, H, W), torch eps/momentum defaults.
 
@@ -320,7 +342,11 @@ class BatchNorm2d(nn.Module):
     PER-COPY — each copy is normalized exactly as it would be by its own
     separate forward, and the running averages fold the per-copy stats
     sequentially in concat order, matching the reference's two consecutive
-    forwards (``super_resolution.py:873,910-914``)."""
+    forwards (``super_resolution.py:873,910-914``).
+
+    ``set_bn_replicas(D)`` further splits every copy into D contiguous
+    groups (= the 1-D mesh's batch shards, so each group's stats are
+    device-local under jit) — per-replica DataParallel semantics."""
 
     momentum: float = 0.9  # = 1 - torch momentum(0.1)
     epsilon: float = 1e-5
@@ -346,57 +372,84 @@ class BatchNorm2d(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
         hw = (x.shape[1] * x.shape[2]) if nhwc else (x.shape[2] * x.shape[3])
+        reps = 1 if self.is_initializing() else _BN_REPLICAS
         if train:
-            if self.copies > 1:
-                k = self.copies
+            if self.copies * reps > 1:
+                k = self.copies * reps
                 nb = x.shape[0] // k
                 assert nb * k == x.shape[0], (
-                    f"batch {x.shape[0]} not divisible by copies={k}"
+                    f"batch {x.shape[0]} not divisible by "
+                    f"copies*replicas={k}"
                 )
-                # per-copy stats via BATCH-AXIS SLICES, not a [k, nb, ...]
-                # reshape: the reshape forced XLA to materialize a full
-                # f32 relayouted copy of the activation per BN (measured
-                # ~83 us each in the round-3 device trace); slicing dim 0
-                # keeps the layout, and the f32 converts fuse into the
-                # reduces.  Two-pass variance (mean, then E[(x-m)^2])
-                # keeps the f32 cancellation safety from round 2.
-                parts = [
-                    x[i * nb : (i + 1) * nb].astype(jnp.float32)
-                    for i in range(k)
-                ]
-                mean_l = [p.mean(axis=red) for p in parts]
-                var_l = [
-                    jnp.square(p - bc(m)[None]).mean(axis=red)
-                    for p, m in zip(parts, mean_l)
-                ]
-                mean_g = jnp.stack(mean_l)  # [k, C]
-                var_g = jnp.stack(var_l)  # [k, C]
+                x32 = x.astype(jnp.float32)
+                if reps > 1:
+                    # per-replica mode: per-group stats via PER-SAMPLE
+                    # moments — the big tensor only sees elementwise ops
+                    # and per-sample (H, W) reductions, so the batch axis
+                    # stays sharded on the mesh (batch-axis slices provoke
+                    # collective-permutes from the SPMD partitioner; see
+                    # test_bn_per_replica HLO pin).  The tiny [N, C]
+                    # moments group-reduce via a free [k, nb, C] view.
+                    prs = red[1:]  # per-sample reduction axes (H, W)
+                    sm = x32.mean(axis=prs)  # [N, C]
+                    mean_g = sm.reshape(k, nb, c).mean(axis=1)  # [k, C]
+                    mean = jnp.repeat(mean_g, nb, axis=0)  # [N, C]
+                    mb = (
+                        mean[:, None, None, :]
+                        if nhwc
+                        else mean[:, :, None, None]
+                    )
+                    sv = jnp.square(x32 - mb).mean(axis=prs)  # [N, C]
+                    var_g = sv.reshape(k, nb, c).mean(axis=1)  # [k, C]
+                else:
+                    # fused-copies default: per-copy stats via BATCH-AXIS
+                    # SLICES, not a [k, nb, ...] reshape (the reshape
+                    # materialized a relayouted activation copy per BN,
+                    # ~83 us each, round-3 trace; the per-sample-moments
+                    # form above benched 5% slower end-to-end on v5e —
+                    # 2,105 vs 2,220 img/s, round 5).  Two-pass variance
+                    # keeps the f32 cancellation safety (r2).
+                    parts = [
+                        x32[i * nb : (i + 1) * nb] for i in range(k)
+                    ]
+                    mean_l = [p.mean(axis=red) for p in parts]
+                    var_l = [
+                        jnp.square(p - bc(m)[None]).mean(axis=red)
+                        for p, m in zip(parts, mean_l)
+                    ]
+                    mean_g = jnp.stack(mean_l)  # [k, C]
+                    var_g = jnp.stack(var_l)  # [k, C]
+                    mean = jnp.repeat(mean_g, nb, axis=0)  # [N, C]
+                    mb = (
+                        mean[:, None, None, :]
+                        if nhwc
+                        else mean[:, :, None, None]
+                    )
                 if not self.is_initializing():
                     n = nb * hw
                     unb = var_g * n / max(n - 1, 1)
                     rm, rv = ra_mean.value, ra_var.value
                     for i in range(k):
+                        if i % reps != 0:
+                            # per-replica mode: only each copy's replica-0
+                            # group updates the running stats (DataParallel
+                            # keeps only the master replica's buffers)
+                            continue
                         rm = self.momentum * rm + (1 - self.momentum) * mean_g[i]
                         rv = self.momentum * rv + (1 - self.momentum) * unb[i]
                     ra_mean.value, ra_var.value = rm, rv
-                # broadcast per-copy stats over the packed batch and
-                # normalize in the original packed layout.  (Doing the
-                # elementwise on the reshaped [k, nb, ...] view instead
-                # measured 12% SLOWER end-to-end on v5e: the reshape forces
-                # relayouts through every BN's fwd+bwd.)
-                mean = jnp.repeat(mean_g, nb, axis=0)  # [2B, C]
-                var = jnp.repeat(var_g, nb, axis=0)
-                if nhwc:
-                    mean, var = mean[:, None, None, :], var[:, None, None, :]
-                else:
-                    mean, var = mean[:, :, None, None], var[:, :, None, None]
-                inv = jax.lax.rsqrt(var + self.epsilon) * bc(scale)[None]
-                # normalize in f32: centering with a bf16-cast mean loses
-                # eps*|mean| (test_precision_audit BN probe); the converts
-                # fuse into this elementwise, nothing f32 is materialized
-                return (
-                    (x.astype(jnp.float32) - mean) * inv + bc(bias)[None]
-                ).astype(x.dtype)
+                # normalize in the original packed layout (doing the
+                # elementwise on a reshaped [k, nb, ...] view measured 12%
+                # SLOWER end-to-end on v5e: relayouts through every BN's
+                # fwd+bwd) and in f32: centering with a bf16-cast mean
+                # loses eps*|mean| (test_precision_audit BN probe); the
+                # converts fuse into this elementwise.  (A bias-folded
+                # bf16 variant benched within run noise of this form —
+                # round-5 A/B — so the simpler exact form is kept.)
+                var = jnp.repeat(var_g, nb, axis=0)  # [N, C]
+                vb = var[:, None, None, :] if nhwc else var[:, :, None, None]
+                inv = jax.lax.rsqrt(vb + self.epsilon) * bc(scale)[None]
+                return ((x32 - mb) * inv + bc(bias)[None]).astype(x.dtype)
             x32 = x.astype(jnp.float32)
             mean = x32.mean(axis=red)
             var = x32.var(axis=red)
@@ -440,13 +493,15 @@ class BatchNorm1d(nn.Module):
         )
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        reps = 1 if self.is_initializing() else _BN_REPLICAS
         if train:
             x32 = x.astype(jnp.float32)
-            if self.copies > 1:
-                k = self.copies
+            if self.copies * reps > 1:
+                k = self.copies * reps
                 nb = x.shape[0] // k
                 assert nb * k == x.shape[0], (
-                    f"batch {x.shape[0]} not divisible by copies={k}"
+                    f"batch {x.shape[0]} not divisible by "
+                    f"copies*replicas={k}"
                 )
                 xg = x32.reshape(k, nb, c)
                 mean_g, var_g = xg.mean(axis=1), xg.var(axis=1)
@@ -454,6 +509,8 @@ class BatchNorm1d(nn.Module):
                     unb = var_g * nb / max(nb - 1, 1)
                     rm, rv = ra_mean.value, ra_var.value
                     for i in range(k):
+                        if i % reps != 0:  # see BatchNorm2d: replica-0 only
+                            continue
                         rm = self.momentum * rm + (1 - self.momentum) * mean_g[i]
                         rv = self.momentum * rv + (1 - self.momentum) * unb[i]
                     ra_mean.value, ra_var.value = rm, rv

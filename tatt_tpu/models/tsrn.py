@@ -69,12 +69,20 @@ class GruBlock(nn.Module):
         pre_k = kernel[:, :, 0, 0]  # [Cmid, Cin]
         gru = BiGRU(hidden=self.out_channels // 2, name="gru")
         if nhwc:
-            return gru(
-                x,
-                pre_kernel=pre_k,
-                pre_bias=bias,
-                scan_axis=1 if self.scan == "h" else 2,
-            )
+            if self.scan == "w":
+                # W-scan: the [N*H, W, C] sequence view is a FREE reshape
+                # of the C-minor activation; the 3-D kernel entry's gates
+                # einsum emits rows(=N*H) minor, which tiles the lanes
+                # fully.  (Routing this through the 4-D scan_axis=2 entry
+                # instead left h=16 as the einsum's minor dim and cost
+                # ~9% end-to-end — the round-4 2,328->2,107 regression,
+                # re-measured and attributed round 5.)
+                n, h, w, c = x.shape
+                seq = x.reshape(n * h, w, c)
+                seq = gru(seq, pre_kernel=pre_k, pre_bias=bias)
+                return seq.reshape(n, h, w, self.out_channels)
+            # H-scan (unwired experiment): in-place 4-D entry
+            return gru(x, pre_kernel=pre_k, pre_bias=bias, scan_axis=1)
         assert self.scan == "w", "NCHW path scans W; transpose at the caller"
         n, c, h, w = x.shape
         seq = x.transpose(0, 2, 3, 1).reshape(n * h, w, c)

@@ -90,6 +90,15 @@ class Trainer:
         self.log = log_fn
         self.mesh = make_mesh(cfg.args.dp_devices)
         self.n_devices = len(self.mesh.devices.ravel())
+        from tatt_tpu.models.common import set_bn_replicas
+
+        # per-replica DataParallel BN semantics: stats per contiguous
+        # batch shard (device-local under the 1-D mesh); default sync-BN
+        set_bn_replicas(
+            self.n_devices
+            if getattr(cfg.args, "bn_per_replica", False)
+            else 1
+        )
 
         from tatt_tpu.core.charset import CRNN_ALPHABET, voc_table
 
