@@ -112,18 +112,33 @@ def main(iters: int = 5000) -> None:
         judge_crnn=judge,
     )
 
+    # SOAK_RESUME=1: extend a previous soak from its rolling checkpoint
+    # (opt state + converge history restored; the reference's own
+    # --resume continuation, train_TATT.sh:2)
+    if os.environ.get("SOAK_RESUME") == "1":
+        # the Trainer nests a run-name dir under ckpt_dir; continue from
+        # the ROLLING checkpoint (step + opt state), not the best-acc one
+        trainer.resume(
+            os.path.join(
+                cfg.TRAIN.ckpt_dir, cfg.args.vis_dir, "checkpoint.ckpt"
+            )
+        )
+    start = int(trainer.state.step)
+
     # pre-train baseline: the untrained generator's SR accuracy
     base = trainer.evaluate(val_ds)
-    print("iter 0 eval: " + json.dumps({k: round(float(v), 4) for k, v in base.items()
-                                        if isinstance(v, (int, float))}), flush=True)
+    print(f"iter {start} eval: "
+          + json.dumps({k: round(float(v), 4) for k, v in base.items()
+                        if isinstance(v, (int, float))}), flush=True)
 
     # two-stage schedule (train_TATT.sh:1-2): lr 1e-3 for the first ~2/3,
-    # then the finetune stage at 2e-4
+    # then the finetune stage at 2e-4 (both train() calls no-op when a
+    # resumed step is already past their bound)
     stage1 = (iters * 2) // 3
     t0 = time.time()
     trainer.train(max_iters=stage1)
     set_lr(trainer, 2e-4)
-    print(f"stage 2: lr -> 2e-4 at iter {stage1}", flush=True)
+    print(f"stage 2: lr -> 2e-4 at iter {max(stage1, start)}", flush=True)
     trainer.train(max_iters=iters)
     wall = time.time() - t0
 
@@ -146,7 +161,7 @@ def main(iters: int = 5000) -> None:
     summary = {
         "iters": iters,
         "wall_s": round(wall, 1),
-        "img_per_s": round(iters * 64 / wall, 1),
+        "img_per_s": round((iters - start) * 64 / wall, 1),
         "best_sum_acc": round(float(trainer.best_sum_acc), 4),
         "final_acc_sr": round(float(final["accuracy"]), 4),
         "final_acc_lr": round(float(final["accuracy_lr"]), 4),
