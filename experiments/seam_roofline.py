@@ -40,14 +40,20 @@ N, H, W = 128, 16, 64  # 2B images (fused tssim), trunk spatial dims
 C_GRU1, C_GRU2, GATES, HID = 128, 64, 96, 32
 
 
+def _sync(out) -> None:
+    # on this relay-attached TPU, block_until_ready returns at dispatch
+    # (BENCH_NOTES round 1); a host fetch is the only true barrier
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+
+
 def timeit(fn, *args, iters=200):
     f = jax.jit(fn)
     out = f(*args)
-    jax.tree.map(lambda a: a.block_until_ready(), out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args)
-    jax.tree.map(lambda a: a.block_until_ready(), out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters * 1e6  # us
 
 
