@@ -75,8 +75,8 @@ class GruBlock(nn.Module):
                 # einsum emits rows(=N*H) minor, which tiles the lanes
                 # fully.  (Routing this through the 4-D scan_axis=2 entry
                 # instead left h=16 as the einsum's minor dim and cost
-                # ~9% end-to-end — the round-4 2,328->2,107 regression,
-                # re-measured and attributed round 5.)
+                # ~9% end-to-end — one of the two round-4 regressions;
+                # the other was the stem lane-pack, see the TATT stem.)
                 n, h, w, c = x.shape
                 seq = x.reshape(n * h, w, c)
                 seq = gru(seq, pre_kernel=pre_k, pre_bias=bias)
@@ -216,7 +216,7 @@ class TSRN(nn.Module):
         # NHWC trunk (see TATT) with NCHW I/O
         b1 = PReLU(name="block1_act")(
             Conv2d(
-                ch, (9, 9), padding=(4, 4), lane_pack=4, data_format="NHWC",
+                ch, (9, 9), padding=(4, 4), data_format="NHWC",
                 name="block1_conv",
             )(x.transpose(0, 2, 3, 1))
         )
@@ -270,7 +270,7 @@ class TSRN_TL(nn.Module):
         # prior map transposes once at the seam.
         b1 = PReLU(name="block1_act")(
             Conv2d(
-                ch, (9, 9), padding=(4, 4), lane_pack=4, data_format="NHWC",
+                ch, (9, 9), padding=(4, 4), data_format="NHWC",
                 name="block1_conv",
             )(x.transpose(0, 2, 3, 1))
         )
@@ -367,7 +367,7 @@ class TSRN_TL_SFT(nn.Module):
         # NHWC trunk (see TATT); InfoGen stays NCHW, its map transposes once.
         b1 = PReLU(name="block1_act")(
             Conv2d(
-                ch, (9, 9), padding=(4, 4), lane_pack=4, data_format="NHWC",
+                ch, (9, 9), padding=(4, 4), data_format="NHWC",
                 name="block1_conv",
             )(x.transpose(0, 2, 3, 1))
         )
@@ -428,7 +428,7 @@ class TSRN_C2F(nn.Module):
         # NHWC trunk (see TATT) with NCHW I/O
         b1 = PReLU(name="block1_act")(
             Conv2d(
-                ch, (9, 9), padding=(4, 4), lane_pack=4, data_format="NHWC",
+                ch, (9, 9), padding=(4, 4), data_format="NHWC",
                 name="block1_conv",
             )(x.transpose(0, 2, 3, 1))
         )
@@ -618,10 +618,16 @@ class TATT(nn.Module):
         # layout — the round-3 device trace measured ~5 ms/step of
         # relayout copies at exactly these seams in the NCHW formulation.
         # I/O stays NCHW (the reference's tensor contract).
+        # NOTE: the stem is deliberately NOT lane-packed.  Round 4 added
+        # lane_pack=4 here (few INPUT channels); a round-5 interleaved
+        # A/B measured it at -148 img/s end-to-end (2,005 vs 2,153):
+        # unlike the final conv (4 OUTPUT channels stranding 124 MXU
+        # lanes), the stem's 64 output channels already tile well, and
+        # packing pays 1.78x FLOPs for nothing.
         xh = x.transpose(0, 2, 3, 1)
         b1 = PReLU(name="block1_act")(
             Conv2d(
-                ch, (9, 9), padding=(4, 4), lane_pack=4, data_format="NHWC",
+                ch, (9, 9), padding=(4, 4), data_format="NHWC",
                 name="block1_conv",
             )(xh)
         )
