@@ -108,10 +108,17 @@ def tps_transform(
     )  # [N, HW, 2] in [0, 1]
     grid = source_coord.reshape(n, th, tw, 2)
     grid = jnp.clip(grid, 0.0, 1.0) * 2.0 - 1.0
+    # The f32 stays confined to the solve: the WARP consumes the grid in
+    # the compute dtype (a bf16 grid quantizes sampling positions by
+    # <= 2^-9 of the [-1, 1] range ~ 0.03 LR px — three orders under the
+    # solve's bf16 failure mode and under the warp's own bf16 tent
+    # weights; bounded by test_tps_parity.test_bf16_grid_error_bound).
+    # Without this cast the f32 grid drags f32 tent-weight tensors
+    # through the warp's fwd+bwd (round-5 regression attribution).
     # auto -> the exact separable-einsum sampler on accelerators: 8x
     # faster than the 4-tap gather for this warp on v5e (1.5 vs 12.3 ms
     # fwd+bwd at batch 128), bitwise-equivalent to f32 rounding.
-    return grid_sample(images, grid)
+    return grid_sample(images, grid.astype(images.dtype))
 
 
 class STNHead(nn.Module):

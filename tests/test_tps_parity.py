@@ -96,3 +96,48 @@ def test_tps_matches_reference():
     ).numpy()
     got = np.asarray(tps_transform(images, ctrl, (16, 64)))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_bf16_grid_error_bound():
+    """The warp consumes the grid in the compute dtype (models/stn.py):
+    quantizing the f32-solved grid to bf16 moves sampling positions by at
+    most 2^-9 of the [-1, 1] range (~0.03 LR px) — quantify that this
+    perturbs warped FIXTURE crops by under the images' own bf16
+    quantization scale, unlike the solve-in-bf16 bug (grid errors up to
+    0.4 image widths, round-4 soak collapse)."""
+    import jax.numpy as jnp
+
+    from tatt_tpu.data.synthetic import SyntheticTextDataset
+    from tatt_tpu.kernels.grid_sample import grid_sample
+    from tatt_tpu.models.stn import build_output_control_points, tps_matrices
+
+    ds = SyntheticTextDataset(n=4, seed=7)
+    lr = np.stack(
+        [np.asarray(ds[i][1], np.float32).transpose(2, 0, 1) for i in range(4)]
+    ) / 255.0  # [4, 3, 16, 64]
+
+    rng = np.random.default_rng(1)
+    base = build_output_control_points(20, (0.05, 0.05)).astype(np.float32)
+    ctrl = base[None] + rng.normal(0, 0.02, (4, 20, 2)).astype(np.float32)
+
+    inv_k, coord_repr = tps_matrices(16, 64, 20, (0.05, 0.05))
+    padded = np.concatenate([ctrl, np.zeros((4, 3, 2), np.float32)], axis=1)
+    mapping = np.einsum("ab,nbc->nac", inv_k, padded)
+    grid = np.einsum("ha,nac->nhc", coord_repr, mapping).reshape(4, 16, 64, 2)
+    grid = np.clip(grid, 0.0, 1.0) * 2.0 - 1.0
+
+    gb = np.asarray(jnp.asarray(grid, jnp.bfloat16), np.float32)
+    # positional quantization: <= 2^-8 spacing over [-1, 1], i.e. at most
+    # 2^-8 * W/2 = 1/8 px horizontally (1/32 px vertically)
+    assert np.abs(gb - grid).max() <= 2.0**-8
+
+    out_f32 = np.asarray(grid_sample(lr, grid, method="gather"))
+    out_bf = np.asarray(grid_sample(lr, gb, method="gather"))
+    # worst-case output perturbation = sharpest edge gradient x the 1/8 px
+    # jitter (~0.06 on these crops); the solve-in-bf16 bug moved samples
+    # ~0.4 image WIDTHS (~26 px), i.e. full-range errors everywhere.  The
+    # jitter is also 6-13x under the fixture's own blur radius
+    # (0.8-1.6 px) and the +-2 px TextZoom registration error.
+    diff = np.abs(out_bf - out_f32)
+    assert diff.max() < 0.1
+    assert diff.mean() < 1e-3
